@@ -1,0 +1,49 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are exercised without TPU hardware via
+``xla_force_host_platform_device_count`` (see SURVEY.md §4); the driver
+separately dry-run-compiles the multi-chip path and benches on a real chip.
+
+Note: this environment pre-imports jax and programmatically forces the
+remote-TPU ('axon') platform, so env vars alone don't switch the backend —
+we must override via jax.config before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+from topk_rec_tpu.data.dataset import Interactions, synthetic_interactions
+
+
+@pytest.fixture(scope="session")
+def tiny_inter() -> Interactions:
+    """Hand-written 4-user / 6-item fold used for exact-value tests."""
+    #            items:  0  1  2  3  4  5
+    # user 0 likes 0,2; browsed also 4 (disliked)
+    # user 1 likes 1,3,5
+    # user 2 likes 2
+    # user 3 has no positives; browsed 0
+    pos_u = np.array([0, 0, 1, 1, 1, 2], dtype=np.int32)
+    pos_i = np.array([0, 2, 1, 3, 5, 2], dtype=np.int32)
+    seen_u = np.array([0, 0, 0, 1, 1, 1, 2, 3], dtype=np.int32)
+    seen_i = np.array([0, 2, 4, 1, 3, 5, 2, 0], dtype=np.int32)
+    return Interactions(4, 6, pos_u, pos_i, seen_u, seen_i)
+
+
+@pytest.fixture(scope="session")
+def small_inter() -> Interactions:
+    """Synthetic structured fold big enough for learning tests."""
+    return synthetic_interactions(n_users=120, n_items=80, n_pos=1500, seed=7)
