@@ -1,0 +1,67 @@
+"""Triplet sampler tests: validity + distribution properties."""
+
+import jax
+import numpy as np
+
+from topk_rec_tpu.ops.sampling import TripletSampler
+
+
+def test_triplets_valid(small_inter):
+    sampler = TripletSampler(small_inter)
+    pos = set(zip(small_inter.pos_u.tolist(), small_inter.pos_i.tolist()))
+    u, i, j = sampler.sample_numpy(jax.random.PRNGKey(0), 4096)
+    rated = set(small_inter.rated_users.tolist())
+    for uu, ii, jj in zip(u, i, j):
+        assert uu in rated
+        assert (uu, ii) in pos, "i must be a positive of u"
+        assert (uu, jj) not in pos, "j must not be a positive of u"
+        assert 0 <= jj < small_inter.n_items
+
+
+def test_user_uniformity(small_inter):
+    sampler = TripletSampler(small_inter)
+    u, _, _ = sampler.sample_numpy(jax.random.PRNGKey(1), 60000)
+    counts = np.bincount(u, minlength=small_inter.n_users)
+    rated = small_inter.rated_users
+    expected = 60000 / len(rated)
+    assert counts[rated].min() > 0.6 * expected
+    assert counts[rated].max() < 1.5 * expected
+    unrated = np.setdiff1d(np.arange(small_inter.n_users), rated)
+    assert counts[unrated].sum() == 0
+
+
+def test_positive_uniform_within_user(small_inter):
+    sampler = TripletSampler(small_inter)
+    u, i, _ = sampler.sample_numpy(jax.random.PRNGKey(2), 120000)
+    # pick the highest-degree user and check its positives are ~uniform
+    target = int(np.argmax(small_inter.user_deg))
+    indptr, flat = small_inter.user_csr
+    positives = flat[indptr[target]:indptr[target + 1]]
+    sel = i[u == target]
+    counts = np.bincount(sel, minlength=small_inter.n_items)[positives]
+    assert counts.min() > 0
+    assert counts.max() < 3.5 * max(1, counts.mean())
+
+
+def test_negative_distribution(small_inter):
+    """Kept negatives are ~uniform over each user's non-positives."""
+    sampler = TripletSampler(small_inter)
+    u, _, j = sampler.sample_numpy(jax.random.PRNGKey(3), 120000)
+    target = int(np.argmax(small_inter.user_deg))
+    indptr, flat = small_inter.user_csr
+    positives = set(flat[indptr[target]:indptr[target + 1]].tolist())
+    negs = [x for x in range(small_inter.n_items) if x not in positives]
+    sel = j[u == target]
+    counts = np.bincount(sel, minlength=small_inter.n_items)
+    assert counts[list(positives)].sum() == 0
+    neg_counts = counts[negs]
+    assert neg_counts.max() < 4.0 * max(1.0, neg_counts.mean())
+
+
+def test_determinism(small_inter):
+    s1 = TripletSampler(small_inter)
+    s2 = TripletSampler(small_inter)
+    a = s1.sample_numpy(jax.random.PRNGKey(7), 256)
+    b = s2.sample_numpy(jax.random.PRNGKey(7), 256)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

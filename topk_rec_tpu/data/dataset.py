@@ -195,23 +195,34 @@ def synthetic_interactions(
                 count += 1
                 if count == n_pos:
                     break
-    return Interactions(n_users, n_items, pos_u, pos_i)
+    inter = Interactions(n_users, n_items, pos_u, pos_i)
+    # stash the generating latents so synthetic_features can produce content
+    # that genuinely predicts preferences (cold-start testability)
+    inter._cache["u_lat"] = u_lat
+    inter._cache["i_lat"] = i_lat
+    return inter
 
 
 def synthetic_features(
-    inter: Interactions, d: int, seed: int = 0, signal: float = 1.0
+    inter: Interactions, d: int, seed: int = 0, noise: float = 0.3
 ) -> np.ndarray:
-    """Generate item content features correlated with co-occurrence.
+    """Generate item content features that predict preferences.
 
-    Items that share users get correlated features, so content models
-    (VBPR/CER/DPM) can generalize to cold-start items in tests.
+    If the interactions came from ``synthetic_interactions``, features are a
+    random linear embedding of the generating item latents plus noise — so
+    content models (VBPR/CER/DPM) can genuinely generalize to cold-start
+    items in tests. Otherwise falls back to a smoothed co-occurrence mix.
     """
     rng = np.random.default_rng(seed + 1)
+    i_lat = inter._cache.get("i_lat")
+    if i_lat is not None:
+        proj = rng.normal(size=(i_lat.shape[1], d))
+        feat = i_lat @ proj + noise * rng.normal(size=(inter.n_items, d))
+        return feat.astype(np.float32)
     base = rng.normal(size=(inter.n_items, d)).astype(np.float32)
-    # Mix in item popularity + a smoothed co-occurrence direction.
     co = inter.dense_matrix()
     item_profile = co.T @ co  # [n_items, n_items]
     norm = item_profile.sum(axis=1, keepdims=True)
     norm[norm == 0] = 1
     mixed = (item_profile / norm) @ base
-    return (base + signal * mixed).astype(np.float32)
+    return (base + mixed).astype(np.float32)

@@ -1,0 +1,116 @@
+"""DPM: weighted ALS alternated with a neural content encoder.
+
+DeepMusic-style model (reference single/dpm.py): each iteration
+(1) re-predicts item latents from content with the encoder,
+(2) runs the user/item ALS sweeps with the encoder output as the item
+    prior (identical normal equations to CER),
+(3) fits the encoder for one SGD sweep against the ALS-updated latents
+    (dpm.py:31-59). After the loop, unrated items get the encoder's
+    prediction (cold-start writeback, dpm.py:61-64).
+
+The encoder is pluggable via the Encoder interface (models/encoders.py),
+mirroring the reference's class-argument pattern (train.py:34 passes MLP).
+The reference runs ``max_iter`` iterations without a convergence check
+(dpm.py:30) — we keep that behavior.
+Defaults mirror reference dpm.py:11: lu=0.01, lv=10, le=1e4, a=1, b=0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Type, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.als import half_sweep
+from ..utils import tprint
+from .encoders import Encoder
+from .wmf import WMF
+
+
+class DPM(WMF):
+    def __init__(
+        self,
+        k: int,
+        d: int,
+        lu: float = 0.01,
+        lv: float = 10.0,
+        le: float = 10e3,
+        a: float = 1.0,
+        b: float = 0.01,
+        seed: int = 0,
+        block_size: int = 2048,
+    ):
+        super().__init__(k, lu, lv, a, b, seed, block_size)
+        self.d = d
+        self.le = le
+        self.encoder: Optional[Encoder] = None
+
+    def train(
+        self,
+        encoder: Union[Type[Encoder], Encoder],
+        max_iter: int = 200,
+        model_path: Optional[str] = None,
+        verbose: bool = True,
+    ) -> None:
+        assert self.inter is not None and self.feat is not None
+        if isinstance(encoder, type):
+            self.encoder = encoder(self.k, self.d)
+        else:
+            self.encoder = encoder
+        if model_path is not None and os.path.isdir(model_path):
+            self.import_embeddings(model_path)
+        inter = self.inter
+        for it in range(max_iter):
+            t1 = time.time()
+            # E-step surrogate: encoder re-predicts all item latents
+            # (ref dpm.py:33)
+            Fe = self.encoder.predict(self.feat)
+            self.fie = np.array(Fe, dtype=np.float32, copy=True)
+            self.fue, _ = half_sweep(
+                self._user_plan,
+                self.fue,
+                self.fie,
+                jnp.asarray(inter.rated_items),
+                self.a,
+                self.b,
+                self.lu,
+            )
+            self.fie, fit = half_sweep(
+                self._item_plan,
+                self.fie,
+                self.fue,
+                jnp.asarray(inter.rated_users),
+                self.a,
+                self.b,
+                self.lv,
+                prior=Fe,
+            )
+            loss = (
+                fit
+                + 0.5 * self.lu * float(np.sum(self.fue**2))
+                + 0.5 * self.lv * float(np.sum((self.fie - Fe) ** 2))
+            )
+            # M-step: one SGD sweep fitting encoder to current latents
+            # (ref dpm.py:59)
+            loss += self.encoder.fit(self.feat, self.fie)
+            if verbose:
+                tprint(
+                    "Iter %3d, loss %.6f, time %.2fs"
+                    % (it, loss, time.time() - t1)
+                )
+        # cold-start writeback from the final encoder (ref dpm.py:61-64)
+        Fe = self.encoder.predict(self.feat)
+        unrated = np.setdiff1d(np.arange(self.n_items), inter.rated_items)
+        self.fie[unrated] = Fe[unrated]
+
+    # ---- encoder checkpoint (TF-Saver analog, ref dpm.py:66-76) ----
+
+    def _native_state(self):
+        return self.encoder.state_dict() if self.encoder is not None else {}
+
+    def _load_native_state(self, state) -> None:
+        if self.encoder is not None:
+            self.encoder.load_state_dict(state)

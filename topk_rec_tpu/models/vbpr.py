@@ -1,0 +1,364 @@
+"""VBPR: content-aware pairwise ranking (visual/meta BPR), TPU-native.
+
+Same model as the reference's VBPR (reference single/vbpr.py): the latent
+dimension splits into k/2 rating factors + k/2 content factors; items
+contribute a learned projection of their content features
+(iceb = F[i]·cem) and a content bias (F[i]·icb); the pairwise objective and
+l2/l1 regularization mirror vbpr.py:59-75.
+
+TPU-native structure matches our BPR (device sampling, lax.scan over many
+steps per launch, sparse-masked RMSProp for the embedding tables) with two
+dense parameters (cem ∈ R^{d×k/2}, icb ∈ R^d) updated with dense RMSProp —
+the reference feeds raw [batch, d] feature rows through feed_dict each step
+(vbpr.py:114, a host->device copy); here the full feature matrix is device
+resident and rows are gathered in-kernel.
+
+Export composes full-catalog embeddings so cold-start (out-of-matrix)
+evaluation works through the generic .dat contract (ref vbpr.py:124-126):
+  final-U = [ure ‖ uce], final-V = [ire ‖ F·cem], final-B = irb + F·icb.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import TripletSampler, _sample_triplets
+from ..utils import tprint
+from .base import Recommender
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "n_items", "k_candidates", "n_steps", "mode"),
+    donate_argnums=(0, 1),
+)
+def _train_chunk(
+    params: dict,
+    ms: dict,
+    key: jax.Array,
+    feat: jax.Array,  # [n_items, d]
+    tr_users: jax.Array,
+    indptr: jax.Array,
+    flat_pos: jax.Array,
+    deg: jax.Array,
+    pos_bitmap: jax.Array,
+    hyper: dict,
+    batch_size: int,
+    n_items: int,
+    k_candidates: int,
+    n_steps: int,
+    mode: str,
+):
+    lu, li, lj, lb, le, lr = (
+        hyper["lu"],
+        hyper["li"],
+        hyper["lj"],
+        hyper["lb"],
+        hyper["le"],
+        hyper["lr"],
+    )
+
+    def loss_fn(g, cem, icb, ic, jc):
+        ureb, uceb, ireb, jreb, irbb, jrbb = g
+        iceb = jnp.dot(ic, cem, preferred_element_type=jnp.float32)
+        jceb = jnp.dot(jc, cem, preferred_element_type=jnp.float32)
+        x = (
+            irbb
+            - jrbb
+            + jnp.sum(ureb * (ireb - jreb), axis=1)
+            + jnp.sum(uceb * (iceb - jceb), axis=1)
+            + jnp.dot(ic - jc, icb, preferred_element_type=jnp.float32)
+        )
+        nll = jnp.sum(jnp.logaddexp(0.0, -x))
+        if mode == "l2":
+            reg = (
+                0.5 * jnp.sum(cem**2) * le
+                + 0.5
+                * jnp.sum((ureb**2 + uceb**2) * lu + ireb**2 * li + jreb**2 * lj)
+                + 0.5 * (jnp.sum(irbb**2 + jrbb**2) + jnp.sum(icb**2)) * lb
+            )
+        else:
+            reg = (
+                jnp.sum(jnp.abs(cem)) * le
+                + jnp.sum(
+                    (jnp.abs(ureb) + jnp.abs(uceb)) * lu
+                    + jnp.abs(ireb) * li
+                    + jnp.abs(jreb) * lj
+                )
+                + (jnp.sum(jnp.abs(irbb) + jnp.abs(jrbb)) + jnp.sum(jnp.abs(icb)))
+                * lb
+            )
+        return nll + reg
+
+    def rms_rows(p, m, g, touched):
+        m_new = jnp.where(touched, 0.9 * m + 0.1 * g * g, m)
+        return p - lr * jnp.where(touched, g / jnp.sqrt(m_new + 1e-10), 0.0), m_new
+
+    def rms_dense(p, m, g):
+        m_new = 0.9 * m + 0.1 * g * g
+        return p - lr * g / jnp.sqrt(m_new + 1e-10), m_new
+
+    def step(carry, step_key):
+        params, ms = carry
+        u, i, j = _sample_triplets(
+            step_key,
+            tr_users,
+            indptr,
+            flat_pos,
+            deg,
+            pos_bitmap,
+            batch_size,
+            n_items,
+            k_candidates,
+        )
+        ic = feat[i]
+        jc = feat[j]
+        gathered = (
+            params["ure"][u],
+            params["uce"][u],
+            params["ire"][i],
+            params["ire"][j],
+            params["irb"][i],
+            params["irb"][j],
+        )
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            gathered, params["cem"], params["icb"], ic, jc
+        )
+        g_emb, g_cem, g_icb = grads
+        gure = jnp.zeros_like(params["ure"]).at[u].add(g_emb[0])
+        guce = jnp.zeros_like(params["uce"]).at[u].add(g_emb[1])
+        gire = (
+            jnp.zeros_like(params["ire"]).at[i].add(g_emb[2]).at[j].add(g_emb[3])
+        )
+        girb = (
+            jnp.zeros_like(params["irb"]).at[i].add(g_emb[4]).at[j].add(g_emb[5])
+        )
+        tu = jnp.zeros(params["ure"].shape[0], bool).at[u].set(True)[:, None]
+        ti = (
+            jnp.zeros(params["ire"].shape[0], bool)
+            .at[i]
+            .set(True)
+            .at[j]
+            .set(True)[:, None]
+        )
+        ure, m_ure = rms_rows(params["ure"], ms["ure"], gure, tu)
+        uce, m_uce = rms_rows(params["uce"], ms["uce"], guce, tu)
+        ire, m_ire = rms_rows(params["ire"], ms["ire"], gire, ti)
+        irb, m_irb = rms_rows(params["irb"], ms["irb"], girb, ti[:, 0])
+        cem, m_cem = rms_dense(params["cem"], ms["cem"], g_cem)
+        icb, m_icb = rms_dense(params["icb"], ms["icb"], g_icb)
+        new_params = {
+            "ure": ure,
+            "uce": uce,
+            "ire": ire,
+            "irb": irb,
+            "cem": cem,
+            "icb": icb,
+        }
+        new_ms = {
+            "ure": m_ure,
+            "uce": m_uce,
+            "ire": m_ire,
+            "irb": m_irb,
+            "cem": m_cem,
+            "icb": m_icb,
+        }
+        return (new_params, new_ms), loss
+
+    keys = jax.random.split(key, n_steps)
+    (params, ms), losses = jax.lax.scan(step, (params, ms), keys)
+    return params, ms, jnp.sum(losses)
+
+
+class VBPR(Recommender):
+    """Content-aware BPR with split rating/content factors.
+
+    Defaults mirror reference vbpr.py:18 (lambda_e=0 included).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        d: int,
+        lambda_u: float = 2.5e-3,
+        lambda_i: float = 2.5e-3,
+        lambda_j: float = 2.5e-4,
+        lambda_b: float = 0.0,
+        lambda_e: float = 0.0,
+        lr: float = 1.0e-4,
+        mode: str = "l2",
+        seed: int = 0,
+        k_candidates: int = 8,
+    ):
+        super().__init__(k)
+        self.d = d
+        self.lu = lambda_u
+        self.li = lambda_i
+        self.lj = lambda_j
+        self.lb = lambda_b
+        self.le = lambda_e
+        self.lr = lr
+        self.mode = mode
+        self.seed = seed
+        self.k_candidates = k_candidates
+        self.sampler: Optional[TripletSampler] = None
+        self._params = None
+        self._ms = None
+
+    def _on_data_loaded(self) -> None:
+        self.sampler = TripletSampler(self.inter, self.k_candidates)
+
+    def _init_params(self, key: jax.Array) -> None:
+        """N(0,0.01) embeddings, zero biases, cem const 2/(d·k)
+        (ref vbpr.py:37-48), honoring warm-start splits
+        (ref vbpr.py:99-108: fue halves -> ure/uce, fie[:, :k/2] -> ire,
+        fib -> irb)."""
+        kh = self.k // 2
+        ks = jax.random.split(key, 3)
+        if self.fue is not None:
+            ure = jnp.asarray(self.fue[:, :kh])
+            uce = jnp.asarray(self.fue[:, kh : self.k])
+        else:
+            ure = 0.01 * jax.random.normal(ks[0], (self.n_users, kh))
+            uce = 0.01 * jax.random.normal(ks[1], (self.n_users, kh))
+        if self.fie is not None:
+            ire = jnp.asarray(self.fie[:, :kh])
+        else:
+            ire = 0.01 * jax.random.normal(ks[2], (self.n_items, kh))
+        if self.fib is not None:
+            irb = jnp.asarray(self.fib).reshape(-1)
+        else:
+            irb = jnp.zeros(self.n_items)
+        base = {
+            "ure": ure.astype(jnp.float32),
+            "uce": uce.astype(jnp.float32),
+            "ire": ire.astype(jnp.float32),
+            "irb": irb.astype(jnp.float32),
+            "cem": jnp.full((self.d, kh), 2.0 / (self.d * self.k), jnp.float32),
+            "icb": jnp.zeros(self.d, jnp.float32),
+        }
+        if self._pending_state is not None:
+            # exact resume of dense params/accumulators from checkpoint.npz
+            # (the .dat-only path re-imports final-B as irb, which is lossy —
+            # the reference shares that asymmetry, vbpr.py:108; the native
+            # checkpoint's raw irb restores exactly)
+            st = self._pending_state
+            for name in ("cem", "icb", "irb"):
+                if name in st:
+                    base[name] = jnp.asarray(st[name])
+            self._params = base
+            self._ms = {
+                name: jnp.asarray(st[f"ms_{name}"])
+                if f"ms_{name}" in st
+                else jnp.zeros_like(val)
+                for name, val in base.items()
+            }
+            self._pending_state = None
+        else:
+            self._params = base
+            self._ms = jax.tree.map(jnp.zeros_like, base)
+
+    _pending_state = None
+
+    def train(
+        self,
+        epochs: int = 5,
+        batch_size: int = 256,
+        epoch_sample_limit: Optional[int] = None,
+        model_path: Optional[str] = None,
+        scan_steps: int = 64,
+        verbose: bool = True,
+    ) -> None:
+        assert self.inter is not None and self.feat is not None
+        if epoch_sample_limit is None:
+            epoch_sample_limit = self.inter.nnz
+        batch_limit = int(epoch_sample_limit) // batch_size + 1
+        if model_path is not None:
+            tprint("Initialize weights with the previous trained model")
+            self.import_embeddings(model_path)
+        key = jax.random.PRNGKey(self.seed)
+        key, init_key = jax.random.split(key)
+        self._init_params(init_key)
+        feat_dev = jnp.asarray(self.feat)
+        hyper = {
+            "lu": self.lu,
+            "li": self.li,
+            "lj": self.lj,
+            "lb": self.lb,
+            "le": self.le,
+            "lr": self.lr,
+        }
+        if verbose:
+            tprint(
+                "Training parameters: lu=%.6f, li=%.6f, lj=%.6f, lb=%.6f, le=%.6f"
+                % (self.lu, self.li, self.lj, self.lb, self.le)
+            )
+            tprint(
+                "Training for %d epochs of %d batches (batch %d)"
+                % (epochs, batch_limit, batch_size)
+            )
+        s = self.sampler
+        for eid in range(epochs):
+            t0 = time.time()
+            total_loss = 0.0
+            done = 0
+            while done < batch_limit:
+                n_steps = min(scan_steps, batch_limit - done)
+                key, sub = jax.random.split(key)
+                self._params, self._ms, loss = _train_chunk(
+                    self._params,
+                    self._ms,
+                    sub,
+                    feat_dev,
+                    s.tr_users,
+                    s.indptr,
+                    s.flat_pos,
+                    s.deg,
+                    s.pos_bitmap,
+                    hyper,
+                    batch_size,
+                    self.n_items,
+                    self.k_candidates,
+                    n_steps,
+                    self.mode,
+                )
+                total_loss += float(loss)
+                done += n_steps
+            if verbose:
+                tprint(
+                    "Epoch %3d, loss %.4f, time %.3fs"
+                    % (eid + 1, total_loss, time.time() - t0)
+                )
+        self._sync_host()
+
+    def _sync_host(self) -> None:
+        """Compose full-catalog export embeddings (ref vbpr.py:124-126)."""
+        p = {k: np.asarray(v) for k, v in self._params.items()}
+        content_emb = self.feat @ p["cem"]
+        content_bias = self.feat @ p["icb"]
+        self.fue = np.concatenate([p["ure"], p["uce"]], axis=1)
+        self.fie = np.concatenate([p["ire"], content_emb], axis=1)
+        self.fib = (p["irb"] + content_bias).reshape(-1, 1)
+
+    # ---- native checkpoint: dense params + accumulators ----
+
+    def _native_state(self):
+        if self._params is None:
+            return {}
+        state = {
+            "cem": np.asarray(self._params["cem"]),
+            "icb": np.asarray(self._params["icb"]),
+            "irb": np.asarray(self._params["irb"]),
+        }
+        for name, val in self._ms.items():
+            state[f"ms_{name}"] = np.asarray(val)
+        return state
+
+    def _load_native_state(self, state) -> None:
+        self._pending_state = state

@@ -1,0 +1,119 @@
+"""WMF: weighted implicit-feedback matrix factorization via batched ALS.
+
+Same objective as the reference's WMF (reference single/wmf.py:61-101):
+confidence-weighted squared loss with positive weight ``a`` and background
+weight ``b``, L2 priors lu/lv, solved by alternating least squares. The
+reference's per-entity host solves become blocked MXU matmuls + batched
+k×k solves (ops/als.py).
+
+Note: the reference's plain ``WMF.train`` crashes as written (it calls
+``.keys()/.values()`` on list-valued dicts, wmf.py:75-76 — see SURVEY.md
+§2.1 C4); this implements the *intended* semantics, which its subclasses
+CER/DPM actually run (all ratings are 1 after the like==1 filter).
+Defaults mirror reference wmf.py:11: lu=0.01, lv=0.01, a=1, b=0.01.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.als import ALSPlan, half_sweep
+from ..utils import tprint
+from .base import Recommender
+
+
+class WMF(Recommender):
+    def __init__(
+        self,
+        k: int,
+        lu: float = 0.01,
+        lv: float = 0.01,
+        a: float = 1.0,
+        b: float = 0.01,
+        seed: int = 0,
+        block_size: int = 2048,
+    ):
+        super().__init__(k)
+        self.lu = lu
+        self.lv = lv
+        self.a = a
+        self.b = b
+        self.seed = seed
+        self.block_size = block_size
+        self._user_plan: Optional[ALSPlan] = None
+        self._item_plan: Optional[ALSPlan] = None
+
+    def _on_data_loaded(self) -> None:
+        inter = self.inter
+        u_indptr, u_flat = inter.user_csr
+        i_indptr, i_flat = inter.item_csr
+        self._user_plan = ALSPlan(
+            u_indptr, u_flat, inter.n_users, self.block_size
+        )
+        self._item_plan = ALSPlan(
+            i_indptr, i_flat, inter.n_items, self.block_size
+        )
+        # uniform [0,1) init (ref wmf.py:55-56)
+        rng = np.random.default_rng(self.seed)
+        self.fue = rng.random((inter.n_users, self.k), dtype=np.float32)
+        self.fie = rng.random((inter.n_items, self.k), dtype=np.float32)
+
+    def _sweeps(self, prior: Optional[np.ndarray]) -> float:
+        """One full ALS iteration (users then items); returns item fit loss."""
+        inter = self.inter
+        self.fue, _ = half_sweep(
+            self._user_plan,
+            self.fue,
+            self.fie,
+            jnp.asarray(inter.rated_items),
+            self.a,
+            self.b,
+            self.lu,
+        )
+        self.fie, fit = half_sweep(
+            self._item_plan,
+            self.fie,
+            self.fue,
+            jnp.asarray(inter.rated_users),
+            self.a,
+            self.b,
+            self.lv,
+            prior=prior,
+        )
+        return fit
+
+    def _loss_reg(self) -> float:
+        """0.5·lu·‖U‖² + 0.5·lv·‖V‖² (ref wmf.py:81,97)."""
+        return 0.5 * self.lu * float(np.sum(self.fue**2)) + 0.5 * self.lv * float(
+            np.sum(self.fie**2)
+        )
+
+    def train(
+        self,
+        max_iter: int = 200,
+        tol: float = 1e-4,
+        model_path: Optional[str] = None,
+        verbose: bool = True,
+    ) -> None:
+        """ALS loop with relative-loss convergence (ref wmf.py:61-101)."""
+        assert self.inter is not None
+        if model_path is not None and os.path.isdir(model_path):
+            self.import_embeddings(model_path)
+        loss = np.exp(50)
+        for it in range(max_iter):
+            t1 = time.time()
+            fit = self._sweeps(prior=None)
+            loss_old, loss = loss, fit + self._loss_reg()
+            cond = abs(loss_old - loss) / loss_old
+            if verbose:
+                tprint(
+                    "Iter %3d, loss %.6f, converge %.6f, time %.2fs"
+                    % (it, loss, cond, time.time() - t1)
+                )
+            if cond < tol:
+                break

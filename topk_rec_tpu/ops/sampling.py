@@ -10,11 +10,11 @@ jit-compiled scheme that preserves the sampling distribution:
 * positives: uniform over the user's CSR positive list;
 * negatives: draw K uniform item candidates per triplet, probe the packed
   positive bitmap (one uint32 gather + shift per candidate), and keep the
-  first non-positive candidate. With catalog size m and user degree deg the
-  chance that all K draws hit positives is (deg/m)^K — at K=8 this is
-  astronomically small for any realistic degree, and each *kept* draw is
-  exactly uniform over the user's negatives, matching the reference's
-  rejection sampler's distribution.
+  first non-positive candidate; the rare rows where all K draws hit
+  positives (probability (deg/m)^K) are fixed up by a ``while_loop`` that
+  redraws until valid — so every kept draw is *exactly* uniform over the
+  user's negatives: the same distribution as the reference's rejection
+  sampler, with no residual bias.
 
 All state lives on device; one fused kernel produces (u, i, j) per batch.
 """
@@ -43,7 +43,7 @@ def _sample_triplets(
     n_items: int,
     k_candidates: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    ku, ki, kj = jax.random.split(key, 3)
+    ku, ki, kj, kfix = jax.random.split(key, 4)
     uidx = jax.random.randint(ku, (batch_size,), 0, tr_users.shape[0])
     u = tr_users[uidx]
     r = jax.random.randint(ki, (batch_size,), 0, deg[u])
@@ -52,10 +52,26 @@ def _sample_triplets(
     words = pos_bitmap[u[:, None], cand >> 5]
     is_pos = (words >> cand.astype(jnp.uint32) % 32) & jnp.uint32(1)
     valid = is_pos == 0
-    # argmax picks the first True column; if none valid (probability
-    # (deg/m)^K) we fall back to the first candidate.
+    # argmax picks the first True column
     first = jnp.argmax(valid, axis=1)
     j = cand[jnp.arange(batch_size), first]
+    invalid = ~jnp.any(valid, axis=1)
+
+    # Exact-rejection fixup for rows where every candidate was a positive.
+    def cond(state):
+        _, _, invalid = state
+        return jnp.any(invalid)
+
+    def body(state):
+        key, j, invalid = state
+        key, sub = jax.random.split(key)
+        redraw = jax.random.randint(sub, (batch_size,), 0, n_items)
+        w = pos_bitmap[u, redraw >> 5]
+        ok = ((w >> redraw.astype(jnp.uint32) % 32) & jnp.uint32(1)) == 0
+        take = invalid & ok
+        return key, jnp.where(take, redraw, j), invalid & ~take
+
+    _, j, _ = jax.lax.while_loop(cond, body, (kfix, j, invalid))
     return u, i, j
 
 
