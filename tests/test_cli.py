@@ -1,0 +1,112 @@
+"""CLI tests: train -> evaluate -> fuse round trips on a tiny fold."""
+
+import os
+
+import numpy as np
+import pytest
+
+from topk_rec_tpu.cli import main
+from topk_rec_tpu.data.dataset import synthetic_interactions
+
+
+@pytest.fixture(scope="module")
+def fold_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_fold")
+    rng = np.random.default_rng(0)
+    n_users, n_items = 60, 50
+    inter = synthetic_interactions(n_users, n_items, 1200, seed=6)
+    uid_names = [f"u{i}" for i in range(n_users)]
+    vid_names = [f"v{i}" for i in range(n_items)]
+    (root / "uid").write_text("\n".join(uid_names) + "\n")
+    (root / "vid").write_text("\n".join(vid_names) + "\n")
+    indptr, flat = inter.user_csr
+    lines = []
+    for u in range(n_users):
+        items = flat[indptr[u]:indptr[u + 1]]
+        if len(items):
+            lines.append(
+                ",".join([uid_names[u]] + [f"{vid_names[i]}:1" for i in items])
+            )
+    (root / "f0tr.txt").write_text("\n".join(lines) + "\n")
+    cand = list(range(n_items))
+    (root / "f0te.im.idl").write_text(
+        "\n".join(vid_names[i] for i in cand) + "\n"
+    )
+    telines = []
+    for u in range(0, n_users, 2):
+        liked = rng.choice(n_items, size=2, replace=False)
+        telines.append(
+            ",".join([uid_names[u]] + [f"{vid_names[i]}:1" for i in liked])
+        )
+    (root / "f0te.im.txt").write_text("\n".join(telines) + "\n")
+    # content pickle for cer
+    import pickle
+
+    from topk_rec_tpu.data.dataset import synthetic_features
+
+    feat = synthetic_features(inter, d=20, seed=1)
+    with open(root / "meta.pkl", "wb") as f:
+        pickle.dump(feat, f)
+    return root
+
+
+def test_train_evaluate_bpr(fold_dir, tmp_path, capsys):
+    out = str(tmp_path / "bpr")
+    rc = main([
+        "train", "--model", "bpr", "-d", str(fold_dir), "-o", out,
+        "--k", "8", "--epochs", "2", "--batch-size", "128", "--lr", "0.05",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "final-U.dat"))
+    rc = main([
+        "evaluate", "-d", str(fold_dir), "-m", out, "-f", "0", "-sl", "im",
+    ])
+    assert rc == 0
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("im,")
+    ][-1]
+    vals = [float(x) for x in line.split(",")[1:]]
+    assert len(vals) == 6
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals == sorted(vals)  # accuracy@k is nondecreasing in k
+
+
+def test_train_wmf_and_cer(fold_dir, tmp_path, capsys):
+    for name, extra in [
+        ("wmf", []),
+        ("cer", ["--content", "meta.pkl", "--d", "20", "--als-le", "100"]),
+    ]:
+        out = str(tmp_path / name)
+        rc = main([
+            "train", "--model", name, "-d", str(fold_dir), "-o", out,
+            "--k", "8", "--max-iter", "3", *extra,
+        ])
+        assert rc == 0
+        assert os.path.exists(os.path.join(out, "final-U.dat"))
+    assert os.path.exists(str(tmp_path / "cer" / "final-E.dat"))
+
+
+def test_fuse_cli(fold_dir, tmp_path, capsys):
+    dirs = []
+    for seed in ("1", "2"):
+        out = str(tmp_path / f"m{seed}")
+        main([
+            "train", "--model", "bpr", "-d", str(fold_dir), "-o", out,
+            "--k", "8", "--epochs", "1", "--batch-size", "128",
+            "--seed", seed,
+        ])
+        dirs.append(out)
+    capsys.readouterr()
+    rc = main([
+        "fuse", "--strategy", "average", "-d", str(fold_dir),
+        "-m", *dirs, "-sl", "im",
+    ])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert out_text.startswith("average-im,")
+    for strat in ("rank", "error", "svm", "bpr"):
+        rc = main([
+            "fuse", "--strategy", strat, "-d", str(fold_dir),
+            "-m", *dirs, "-sl", "im", "--n-samples", "2000",
+        ])
+        assert rc == 0

@@ -26,23 +26,34 @@ from .protocol import EvalResult
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _score_topk_chunk(
-    u_emb: jax.Array,        # [CU, k_dim]
-    v_cand: jax.Array,       # [n_cand, k_dim]
-    bias: Optional[jax.Array],   # [n_cand] or None
+def _mask_topk(
+    scores: jax.Array,       # [CU, n_cand]
     seen_words: jax.Array,   # [CU, n_words] uint32 (rows for this chunk)
     cand_word: jax.Array,    # [n_cand] int32 — word index of candidate's bit
     cand_bit: jax.Array,     # [n_cand] uint32 — bit position of candidate
     k: int,
 ):
-    scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
-    if bias is not None:
-        scores = scores + bias[None, :]
     words = seen_words[:, cand_word]                    # [CU, n_cand]
     seen = (words >> cand_bit[None, :]) & jnp.uint32(1)
     masked = jnp.where(seen.astype(bool), -jnp.inf, scores)
     vals, idx = jax.lax.top_k(masked, k)
     return vals, idx
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _score_topk_chunk(
+    u_emb: jax.Array,        # [CU, k_dim]
+    v_cand: jax.Array,       # [n_cand, k_dim]
+    bias: Optional[jax.Array],   # [n_cand] or None
+    seen_words: jax.Array,
+    cand_word: jax.Array,
+    cand_bit: jax.Array,
+    k: int,
+):
+    scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias[None, :]
+    return _mask_topk(scores, seen_words, cand_word, cand_bit, k)
 
 
 def topk_unseen(
@@ -93,6 +104,41 @@ def topk_unseen(
         )
         out_vals[start:stop] = np.asarray(vals)[: stop - start]
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
+    return out_vals, out_idx
+
+
+def topk_unseen_scorer(
+    scorer,
+    n_users: int,
+    n_cand: int,
+    seen_bitmap: np.ndarray,
+    cand_item_ids: np.ndarray,
+    k: int,
+    user_chunk: int = 8192,
+):
+    """Top-k unseen candidates from an arbitrary chunk scorer.
+
+    ``scorer(start, stop)`` must return device scores [stop-start, n_cand]
+    for that user range (used by the fusion engine, which combines several
+    modality score matrices per chunk without ever materializing the full
+    [n_users, n_cand, n_feats] tensor the reference builds in RAM,
+    reference old/methods/efusion.py:141-155).
+    """
+    k = min(k, n_cand)
+    cand_item_ids = np.asarray(cand_item_ids, dtype=np.int64)
+    cand_word = jnp.asarray((cand_item_ids >> 5).astype(np.int32))
+    cand_bit = jnp.asarray((cand_item_ids & 31).astype(np.uint32))
+    bm_dev = jnp.asarray(seen_bitmap)
+    out_vals = np.empty((n_users, k), dtype=np.float32)
+    out_idx = np.empty((n_users, k), dtype=np.int32)
+    for start in range(0, n_users, user_chunk):
+        stop = min(start + user_chunk, n_users)
+        scores = scorer(start, stop)
+        vals, idx = _mask_topk(
+            scores, bm_dev[start:stop], cand_word, cand_bit, k
+        )
+        out_vals[start:stop] = np.asarray(vals)
+        out_idx[start:stop] = np.asarray(idx)
     return out_vals, out_idx
 
 

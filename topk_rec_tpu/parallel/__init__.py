@@ -1,0 +1,9 @@
+from .mesh import make_mesh, shard_params, replicate
+from .train_step import DistributedBPRTrainer
+
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "replicate",
+    "DistributedBPRTrainer",
+]
