@@ -25,35 +25,37 @@ import numpy as np
 from .protocol import EvalResult
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "n_cand"))
 def _mask_topk(
-    scores: jax.Array,       # [CU, n_cand]
-    seen_words: jax.Array,   # [CU, n_words] uint32 (rows for this chunk)
-    cand_word: jax.Array,    # [n_cand] int32 — word index of candidate's bit
-    cand_bit: jax.Array,     # [n_cand] uint32 — bit position of candidate
+    scores: jax.Array,        # [CU, n_cand]
+    packed_seen: jax.Array,   # [CU, ceil(n_cand/32)] uint32, candidate space
+    n_cand: int,
     k: int,
 ):
-    words = seen_words[:, cand_word]                    # [CU, n_cand]
-    seen = (words >> cand_bit[None, :]) & jnp.uint32(1)
-    masked = jnp.where(seen.astype(bool), -jnp.inf, scores)
+    # Dense bit expansion (repeat + shift) instead of a per-candidate
+    # gather — the gather lowering costs ~40ms per 8192x8305 chunk on v5e,
+    # the expansion is bandwidth-trivial.
+    from ..ops.topk_pallas import expand_seen_mask
+
+    seen = expand_seen_mask(packed_seen, n_cand)
+    masked = jnp.where(seen != 0, -jnp.inf, scores)
     vals, idx = jax.lax.top_k(masked, k)
     return vals, idx
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "n_cand"))
 def _score_topk_chunk(
     u_emb: jax.Array,        # [CU, k_dim]
     v_cand: jax.Array,       # [n_cand, k_dim]
     bias: Optional[jax.Array],   # [n_cand] or None
-    seen_words: jax.Array,
-    cand_word: jax.Array,
-    cand_bit: jax.Array,
+    packed_seen: jax.Array,
+    n_cand: int,
     k: int,
 ):
     scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias[None, :]
-    return _mask_topk(scores, seen_words, cand_word, cand_bit, k)
+    return _mask_topk(scores, packed_seen, n_cand, k)
 
 
 def topk_unseen(
@@ -79,15 +81,15 @@ def topk_unseen(
     Returns (values, indices) as numpy [n_users, k]; positions whose value is
     -inf have fewer than k unseen candidates and must be ignored.
     """
+    from ..ops.topk_pallas import pack_candidate_bitmap
+
     n_users = U.shape[0]
     n_cand = V_cand.shape[0]
     k = min(k, n_cand)
-    cand_item_ids = np.asarray(cand_item_ids, dtype=np.int64)
-    cand_word = jnp.asarray((cand_item_ids >> 5).astype(np.int32))
-    cand_bit = jnp.asarray((cand_item_ids & 31).astype(np.uint32))
+    packed = pack_candidate_bitmap(seen_bitmap, cand_item_ids)
     v_dev = jnp.asarray(V_cand)
     b_dev = jnp.asarray(bias).reshape(-1) if bias is not None else None
-    bm_dev = jnp.asarray(seen_bitmap)
+    bm_dev = jnp.asarray(packed)
 
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
@@ -100,7 +102,7 @@ def topk_unseen(
             u_emb = np.pad(u_emb, ((0, pad), (0, 0)))
             seen_words = jnp.pad(seen_words, ((0, pad), (0, 0)))
         vals, idx = _score_topk_chunk(
-            jnp.asarray(u_emb), v_dev, b_dev, seen_words, cand_word, cand_bit, k
+            jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
         )
         out_vals[start:stop] = np.asarray(vals)[: stop - start]
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
@@ -124,19 +126,17 @@ def topk_unseen_scorer(
     [n_users, n_cand, n_feats] tensor the reference builds in RAM,
     reference old/methods/efusion.py:141-155).
     """
+    from ..ops.topk_pallas import pack_candidate_bitmap
+
     k = min(k, n_cand)
-    cand_item_ids = np.asarray(cand_item_ids, dtype=np.int64)
-    cand_word = jnp.asarray((cand_item_ids >> 5).astype(np.int32))
-    cand_bit = jnp.asarray((cand_item_ids & 31).astype(np.uint32))
-    bm_dev = jnp.asarray(seen_bitmap)
+    packed = pack_candidate_bitmap(seen_bitmap, cand_item_ids)
+    bm_dev = jnp.asarray(packed)
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         scores = scorer(start, stop)
-        vals, idx = _mask_topk(
-            scores, bm_dev[start:stop], cand_word, cand_bit, k
-        )
+        vals, idx = _mask_topk(scores, bm_dev[start:stop], n_cand, k)
         out_vals[start:stop] = np.asarray(vals)
         out_idx[start:stop] = np.asarray(idx)
     return out_vals, out_idx
