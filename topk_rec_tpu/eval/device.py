@@ -66,6 +66,7 @@ def topk_unseen(
     cand_item_ids: np.ndarray,
     k: int,
     user_chunk: int = 8192,
+    use_pallas: bool = False,
 ):
     """Top-k *unseen* candidates per user, in descending score order.
 
@@ -101,12 +102,33 @@ def topk_unseen(
         if pad:
             u_emb = np.pad(u_emb, ((0, pad), (0, 0)))
             seen_words = jnp.pad(seen_words, ((0, pad), (0, 0)))
-        vals, idx = _score_topk_chunk(
-            jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
-        )
+        if use_pallas:
+            vals, idx = _pallas_chunk(
+                jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
+            )
+        else:
+            vals, idx = _score_topk_chunk(
+                jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
+            )
         out_vals[start:stop] = np.asarray(vals)[: stop - start]
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
     return out_vals, out_idx
+
+
+@partial(jax.jit, static_argnames=("n_cand", "k"))
+def _pallas_chunk(u_emb, v_cand, bias, packed_seen, n_cand, k):
+    """Fused-kernel variant of _score_topk_chunk (ops/topk_pallas.py).
+
+    Same contract: excluded / overflow slots come back at float32.min,
+    converted to -inf here so both paths report unseen-deficit users
+    identically.
+    """
+    from ..ops.topk_pallas import NEG_INF, expand_seen_mask, fused_score_topk
+
+    mask = expand_seen_mask(packed_seen, n_cand)
+    vals, idx = fused_score_topk(u_emb, v_cand, bias, mask, k)
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    return vals, idx
 
 
 def topk_unseen_scorer(
@@ -195,14 +217,18 @@ def evaluate_scores_device(
     step: int = 5,
     total: int = 30,
     user_chunk: int = 8192,
+    use_pallas: bool = False,
 ) -> EvalResult:
     """End-to-end device evaluation equivalent to ``evaluate_oracle``.
 
     Scoring + seen-masking + top-``total`` run jit-compiled on device;
     bucketed hit counting is a vectorized bitmap pass on host.
+    ``use_pallas`` routes through the fused single-kernel scoring+top-k
+    path (ops/topk_pallas.py).
     """
     vals, idx = topk_unseen(
-        U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk
+        U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk,
+        use_pallas,
     )
     return _count_hits(idx, vals, likes, V_cand.shape[0], step, total)
 
@@ -220,11 +246,13 @@ class DeviceEvaluator:
         step: int = 5,
         total: int = 30,
         user_chunk: int = 8192,
+        use_pallas: bool = False,
     ):
         self.seen_bitmap = seen_bitmap
         self.step = step
         self.total = total
         self.user_chunk = user_chunk
+        self.use_pallas = use_pallas
 
     def evaluate(
         self,
@@ -247,4 +275,5 @@ class DeviceEvaluator:
             self.step,
             self.total,
             self.user_chunk,
+            self.use_pallas,
         )

@@ -89,12 +89,23 @@ class CER(WMF):
         tol: float = 1e-4,
         model_path: Optional[str] = None,
         verbose: bool = True,
+        log_dir: Optional[str] = None,
     ) -> None:
         """ALS ⇄ ridge-E alternation with cold-start writeback
         (ref cer.py:24-73)."""
+        from ..utils.statelog import StateLog
+
         assert self.inter is not None and self.feat is not None
         if model_path is not None and os.path.isdir(model_path):
             self.import_embeddings(model_path)
+        slog = StateLog(
+            log_dir,
+            {
+                "model": "cer", "k": self.k, "d": self.d, "lu": self.lu,
+                "lv": self.lv, "le": self.le, "a": self.a, "b": self.b,
+                "max_iter": max_iter, "tol": tol,
+            },
+        )
         if self.E is None:
             rng = np.random.default_rng(self.seed + 17)
             self.E = rng.standard_normal((self.d, self.k)).astype(np.float32)
@@ -132,6 +143,7 @@ class CER(WMF):
                 + 0.5 * self.le * float(np.sum(self.E**2))
             )
             cond = abs(loss_old - loss) / loss_old
+            slog.append(it, loss, cond)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, time %.2fs"

@@ -54,7 +54,10 @@ class DPM(WMF):
         max_iter: int = 200,
         model_path: Optional[str] = None,
         verbose: bool = True,
+        log_dir: Optional[str] = None,
     ) -> None:
+        from ..utils.statelog import StateLog
+
         assert self.inter is not None and self.feat is not None
         if isinstance(encoder, type):
             self.encoder = encoder(self.k, self.d)
@@ -62,6 +65,15 @@ class DPM(WMF):
             self.encoder = encoder
         if model_path is not None and os.path.isdir(model_path):
             self.import_embeddings(model_path)
+        slog = StateLog(
+            log_dir,
+            {
+                "model": "dpm", "k": self.k, "d": self.d, "lu": self.lu,
+                "lv": self.lv, "le": self.le, "a": self.a, "b": self.b,
+                "max_iter": max_iter,
+            },
+        )
+        prev_loss = None
         inter = self.inter
         for it in range(max_iter):
             t1 = time.time()
@@ -96,6 +108,13 @@ class DPM(WMF):
             # M-step: one SGD sweep fitting encoder to current latents
             # (ref dpm.py:59)
             loss += self.encoder.fit(self.feat, self.fie)
+            cond = (
+                abs(prev_loss - loss) / abs(prev_loss)
+                if prev_loss is not None
+                else float("inf")
+            )
+            prev_loss = loss
+            slog.append(it, loss, cond)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, time %.2fs"

@@ -99,17 +99,38 @@ class WMF(Recommender):
         tol: float = 1e-4,
         model_path: Optional[str] = None,
         verbose: bool = True,
+        log_dir: Optional[str] = None,
     ) -> None:
-        """ALS loop with relative-loss convergence (ref wmf.py:61-101)."""
+        """ALS loop with relative-loss convergence (ref wmf.py:61-101).
+
+        ``log_dir`` writes state.log / settings.txt (reference cr solver
+        observability, cr.cpp:91-93).
+        """
+        from ..utils.statelog import StateLog
+
         assert self.inter is not None
         if model_path is not None and os.path.isdir(model_path):
             self.import_embeddings(model_path)
+        slog = StateLog(
+            log_dir,
+            {
+                "model": type(self).__name__.lower(),
+                "k": self.k,
+                "lu": self.lu,
+                "lv": self.lv,
+                "a": self.a,
+                "b": self.b,
+                "max_iter": max_iter,
+                "tol": tol,
+            },
+        )
         loss = np.exp(50)
         for it in range(max_iter):
             t1 = time.time()
             fit = self._sweeps(prior=None)
             loss_old, loss = loss, fit + self._loss_reg()
             cond = abs(loss_old - loss) / loss_old
+            slog.append(it, loss, cond)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, converge %.6f, time %.2fs"

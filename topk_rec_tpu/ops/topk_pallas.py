@@ -159,7 +159,7 @@ def fused_score_topk(
     k: int,
     block_u: int = 256,
     block_i: int = 2048,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     exact_matmul: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, indices) of masked U·Vᵀ + bias, fused in one kernel.
@@ -178,6 +178,9 @@ def fused_score_topk(
     with value ``float32.min``.
     """
     assert 1 <= k <= _RUN_LANES
+    if interpret is None:
+        # no Mosaic on CPU — fall back to the interpreter (tests)
+        interpret = jax.default_backend() == "cpu"
     n_u, d = U.shape
     n_i = V.shape[0]
     pu = (-n_u) % block_u
