@@ -79,6 +79,7 @@ class DistributedBPRTrainer:
         n_steps = self.scan_steps
 
         from ..ops.sampling import _sample_triplets
+        from ..ops.sparse_update import sparse_rmsprop
 
         param_shardings = {
             name: NamedSharding(mesh, spec)
@@ -107,34 +108,34 @@ class DistributedBPRTrainer:
                     )
                 return nll + reg
 
-            def rms_rows(p, m, g, touched):
-                m_new = jnp.where(touched, 0.9 * m + 0.1 * g * g, m)
-                upd = jnp.where(touched, g / jnp.sqrt(m_new + 1e-10), 0.0)
-                return p - hyper["lr"] * upd, m_new
+            # whole-chunk sampling (matches the single-chip chunk exactly)
+            u_all, i_all, j_all = _sample_triplets(
+                key,
+                state["tr_users"],
+                state["indptr"],
+                state["flat_pos"],
+                state["deg"],
+                state["pos_bitmap"],
+                n_steps * batch_size,
+                n_items,
+                k_cand,
+            )
+            dp = NamedSharding(mesh, P(None, "dp"))
+            steps_uij = (
+                jax.lax.with_sharding_constraint(
+                    u_all.reshape(n_steps, batch_size), dp
+                ),
+                jax.lax.with_sharding_constraint(
+                    i_all.reshape(n_steps, batch_size), dp
+                ),
+                jax.lax.with_sharding_constraint(
+                    j_all.reshape(n_steps, batch_size), dp
+                ),
+            )
 
-            def step(carry, step_key):
+            def step(carry, uij):
                 params, ms = carry
-                u, i, j = _sample_triplets(
-                    step_key,
-                    state["tr_users"],
-                    state["indptr"],
-                    state["flat_pos"],
-                    state["deg"],
-                    state["pos_bitmap"],
-                    batch_size,
-                    n_items,
-                    k_cand,
-                )
-                # batch sharded over the data axis
-                u = jax.lax.with_sharding_constraint(
-                    u, NamedSharding(mesh, P("dp"))
-                )
-                i = jax.lax.with_sharding_constraint(
-                    i, NamedSharding(mesh, P("dp"))
-                )
-                j = jax.lax.with_sharding_constraint(
-                    j, NamedSharding(mesh, P("dp"))
-                )
+                u, i, j = uij
                 gathered = (
                     params["ue"][u],
                     params["ie"][i],
@@ -143,34 +144,18 @@ class DistributedBPRTrainer:
                     params["ib"][j],
                 )
                 loss, grads = jax.value_and_grad(loss_fn)(gathered)
-                gu = jnp.zeros_like(params["ue"]).at[u].add(grads[0])
-                gi = (
-                    jnp.zeros_like(params["ie"])
-                    .at[i]
-                    .add(grads[1])
-                    .at[j]
-                    .add(grads[2])
+                ue, ms_u = sparse_rmsprop(
+                    params["ue"], ms["ue"], u, grads[0], hyper["lr"]
                 )
-                gb = (
-                    jnp.zeros_like(params["ib"])
-                    .at[i]
-                    .add(grads[3])
-                    .at[j]
-                    .add(grads[4])
+                ij = jnp.concatenate([i, j])
+                gi = jnp.concatenate([grads[1], grads[2]], axis=0)
+                ie, ms_i = sparse_rmsprop(
+                    params["ie"], ms["ie"], ij, gi, hyper["lr"]
                 )
-                tu = (
-                    jnp.zeros(params["ue"].shape[0], bool).at[u].set(True)[:, None]
+                gb = jnp.concatenate([grads[3], grads[4]], axis=0)
+                ib, ms_b = sparse_rmsprop(
+                    params["ib"], ms["ib"], ij, gb, hyper["lr"]
                 )
-                ti = (
-                    jnp.zeros(params["ie"].shape[0], bool)
-                    .at[i]
-                    .set(True)
-                    .at[j]
-                    .set(True)[:, None]
-                )
-                ue, ms_u = rms_rows(params["ue"], ms["ue"], gu, tu)
-                ie, ms_i = rms_rows(params["ie"], ms["ie"], gi, ti)
-                ib, ms_b = rms_rows(params["ib"], ms["ib"], gb, ti[:, 0])
                 new_p = {"ue": ue, "ie": ie, "ib": ib}
                 new_p = {
                     name: jax.lax.with_sharding_constraint(
@@ -181,8 +166,9 @@ class DistributedBPRTrainer:
                 new_m = {"ue": ms_u, "ie": ms_i, "ib": ms_b}
                 return (new_p, new_m), loss
 
-            keys = jax.random.split(key, n_steps)
-            (params, ms), losses = jax.lax.scan(step, (params, ms), keys)
+            (params, ms), losses = jax.lax.scan(
+                step, (params, ms), steps_uij
+            )
             return params, ms, jnp.sum(losses)
 
         return jax.jit(
