@@ -84,3 +84,53 @@ def test_distributed_training_learns(small_inter):
     trainer.sync_to_model()
     assert model.fue is not None and model.fue.shape == (
         small_inter.n_users, 8)
+
+
+def test_distributed_als_matches_local(small_inter):
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.ops.als import ALSPlan, half_sweep
+    from topk_rec_tpu.parallel.als import DistributedALS
+
+    rng = np.random.default_rng(4)
+    k = 6
+    U = rng.normal(size=(small_inter.n_users, k)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, k)).astype(np.float32)
+    indptr, flat = small_inter.user_csr
+    plan = ALSPlan(indptr, flat, small_inter.n_users, block_size=40)
+    mesh = make_mesh(dp=4, mp=2)
+    dist = DistributedALS(mesh)
+    got, got_fit = dist.half_sweep(
+        plan, U, V, jnp.asarray(small_inter.rated_items), 1.0, 0.01, 0.05
+    )
+    want, want_fit = half_sweep(
+        plan, U, V, jnp.asarray(small_inter.rated_items), 1.0, 0.01, 0.05
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_fit, want_fit, rtol=1e-3)
+
+
+def test_distributed_als_with_prior(small_inter):
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.ops.als import ALSPlan, half_sweep
+    from topk_rec_tpu.parallel.als import DistributedALS
+
+    rng = np.random.default_rng(5)
+    k = 5
+    U = rng.normal(size=(small_inter.n_users, k)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, k)).astype(np.float32)
+    prior = rng.normal(size=(small_inter.n_items, k)).astype(np.float32)
+    indptr, flat = small_inter.item_csr
+    plan = ALSPlan(indptr, flat, small_inter.n_items, block_size=16)
+    mesh = make_mesh(dp=2, mp=4)
+    dist = DistributedALS(mesh)
+    got, _ = dist.half_sweep(
+        plan, V, U, jnp.asarray(small_inter.rated_users), 1.0, 0.01, 10.0,
+        prior=prior,
+    )
+    want, _ = half_sweep(
+        plan, V, U, jnp.asarray(small_inter.rated_users), 1.0, 0.01, 10.0,
+        prior=prior,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
