@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial
 
 from ..data.io import read_dat, write_dat
 from ..ops.als import half_sweep
@@ -41,14 +42,43 @@ def _ridge_direct(F: jax.Array, Y: jax.Array, lv: float, le: float) -> jax.Array
     return jnp.linalg.solve(FF, lv * jnp.dot(F.T, Y))
 
 
-@jax.jit
-def _ridge_woodbury(
-    F: jax.Array, G: jax.Array, Y: jax.Array, lv: float, le: float
+@partial(jax.jit, static_argnames=("iters",))
+def _ridge_woodbury_cg(
+    F: jax.Array, G: jax.Array, Y: jax.Array, lv: float, le: float,
+    iters: int,
 ) -> jax.Array:
-    """E = lv·Fᵀ·(le·I_n + lv·G)⁻¹·Y with G = F·Fᵀ precomputed."""
-    n = F.shape[0]
-    A = le * jnp.eye(n, dtype=jnp.float32) + lv * G
-    return lv * jnp.dot(F.T, jnp.linalg.solve(A, Y))
+    """E = lv·Fᵀ·(le·I_n + lv·G)⁻¹·Y with G = F·Fᵀ precomputed.
+
+    The n×n system is solved by conjugate gradients (matvec = one n×n·n×k
+    matmul on the MXU) — dense LU/Cholesky factorizations lower to scalar
+    loops on TPU and are orders of magnitude slower at n ≈ 10⁴. The ridge
+    term le·I dominates the spectrum at the reference's le=1e4, so CG
+    converges in a handful of iterations.
+    """
+
+    def matvec(X):
+        return le * X + lv * jnp.dot(
+            G, X, preferred_element_type=jnp.float32
+        )
+
+    X = jnp.zeros_like(Y)
+    R = Y - matvec(X)
+    P = R
+    rs = jnp.sum(R * R, axis=0)
+
+    def body(_, state):
+        X, R, P, rs = state
+        AP = matvec(P)
+        alpha = rs / jnp.maximum(jnp.sum(P * AP, axis=0), 1e-30)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        rs_new = jnp.sum(R * R, axis=0)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        P = R + beta[None, :] * P
+        return X, R, P, rs_new
+
+    X, _, _, _ = jax.lax.fori_loop(0, iters, body, (X, R, P, rs))
+    return lv * jnp.dot(F.T, X, preferred_element_type=jnp.float32)
 
 
 class CER(WMF):
@@ -68,20 +98,34 @@ class CER(WMF):
         self.d = d
         self.le = le
         self.E: Optional[np.ndarray] = None
+        self._feat_dev: Optional[jax.Array] = None    # device-resident F
         self._gram_items: Optional[jax.Array] = None  # F·Fᵀ for Woodbury
+        self.e_solver_iters = 60
 
-    def _solve_E(self) -> np.ndarray:
-        F = jnp.asarray(self.feat)
-        Y = jnp.asarray(self.fie)
+    def set_features(self, feat: np.ndarray) -> None:
+        super().set_features(feat)
+        # device-resident features: avoid an 800MB host->device transfer
+        # per iteration at the reference's d=20000
+        self._feat_dev = jnp.asarray(self.feat)
+        self._gram_items = None
+
+    def _feat_device(self) -> jax.Array:
+        if self._feat_dev is None:
+            self._feat_dev = jnp.asarray(self.feat)
+        return self._feat_dev
+
+    def _solve_E(self, Y: jax.Array) -> jax.Array:
+        F = self._feat_device()
         if self.d > self.n_items:
             if self._gram_items is None:
                 self._gram_items = jnp.dot(
                     F, F.T, preferred_element_type=jnp.float32
                 )
-            E = _ridge_woodbury(F, self._gram_items, Y, self.lv, self.le)
-        else:
-            E = _ridge_direct(F, Y, self.lv, self.le)
-        return np.asarray(E)
+            return _ridge_woodbury_cg(
+                F, self._gram_items, Y, self.lv, self.le,
+                self.e_solver_iters,
+            )
+        return _ridge_direct(F, Y, self.lv, self.le)
 
     def train(
         self,
@@ -110,16 +154,21 @@ class CER(WMF):
             rng = np.random.default_rng(self.seed + 17)
             self.E = rng.standard_normal((self.d, self.k)).astype(np.float32)
         inter = self.inter
+        F = self._feat_device()
+        E_dev = jnp.asarray(self.E)
+        rated_items = jnp.asarray(inter.rated_items)
+        rated_users = jnp.asarray(inter.rated_users)
         loss = np.exp(50)
         for it in range(max_iter):
             t1 = time.time()
-            Fe = (self.feat @ self.E).astype(np.float32)
+            # F·E on device (20 GFLOP on host NumPy at the reference scale)
+            Fe = jnp.dot(F, E_dev, preferred_element_type=jnp.float32)
             # user sweep (lam=lu), then item sweep with content prior
             self.fue, _ = half_sweep(
                 self._user_plan,
                 self.fue,
                 self.fie,
-                jnp.asarray(inter.rated_items),
+                rated_items,
                 self.a,
                 self.b,
                 self.lu,
@@ -128,19 +177,20 @@ class CER(WMF):
                 self._item_plan,
                 self.fie,
                 self.fue,
-                jnp.asarray(inter.rated_users),
+                rated_users,
                 self.a,
                 self.b,
                 self.lv,
                 prior=Fe,
             )
-            self.E = self._solve_E()
+            E_dev = self._solve_E(jnp.asarray(self.fie))
             loss_old = loss
+            Fe_host = np.asarray(Fe)
             loss = (
                 fit
                 + 0.5 * self.lu * float(np.sum(self.fue**2))
-                + 0.5 * self.lv * float(np.sum((self.fie - Fe) ** 2))
-                + 0.5 * self.le * float(np.sum(self.E**2))
+                + 0.5 * self.lv * float(np.sum((self.fie - Fe_host) ** 2))
+                + 0.5 * self.le * float(jnp.sum(E_dev**2))
             )
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
@@ -151,8 +201,9 @@ class CER(WMF):
                 )
             if cond < tol:
                 break
+        self.E = np.asarray(E_dev)
         # cold-start writeback (ref cer.py:70-73)
-        Fe = (self.feat @ self.E).astype(np.float32)
+        Fe = np.asarray(jnp.dot(F, E_dev, preferred_element_type=jnp.float32))
         unrated = np.setdiff1d(
             np.arange(self.n_items), self.inter.rated_items
         )

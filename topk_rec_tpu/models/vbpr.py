@@ -96,27 +96,33 @@ def _train_chunk(
             )
         return nll + reg
 
-    def rms_rows(p, m, g, touched):
-        m_new = jnp.where(touched, 0.9 * m + 0.1 * g * g, m)
-        return p - lr * jnp.where(touched, g / jnp.sqrt(m_new + 1e-10), 0.0), m_new
+    from ..ops.sparse_update import sparse_rmsprop
 
     def rms_dense(p, m, g):
         m_new = 0.9 * m + 0.1 * g * g
         return p - lr * g / jnp.sqrt(m_new + 1e-10), m_new
 
-    def step(carry, step_key):
+    # whole-chunk sampling (see models/bpr.py)
+    u_all, i_all, j_all = _sample_triplets(
+        key,
+        tr_users,
+        indptr,
+        flat_pos,
+        deg,
+        pos_bitmap,
+        n_steps * batch_size,
+        n_items,
+        k_candidates,
+    )
+    steps_uij = (
+        u_all.reshape(n_steps, batch_size),
+        i_all.reshape(n_steps, batch_size),
+        j_all.reshape(n_steps, batch_size),
+    )
+
+    def step(carry, uij):
         params, ms = carry
-        u, i, j = _sample_triplets(
-            step_key,
-            tr_users,
-            indptr,
-            flat_pos,
-            deg,
-            pos_bitmap,
-            batch_size,
-            n_items,
-            k_candidates,
-        )
+        u, i, j = uij
         ic = feat[i]
         jc = feat[j]
         gathered = (
@@ -131,26 +137,13 @@ def _train_chunk(
             gathered, params["cem"], params["icb"], ic, jc
         )
         g_emb, g_cem, g_icb = grads
-        gure = jnp.zeros_like(params["ure"]).at[u].add(g_emb[0])
-        guce = jnp.zeros_like(params["uce"]).at[u].add(g_emb[1])
-        gire = (
-            jnp.zeros_like(params["ire"]).at[i].add(g_emb[2]).at[j].add(g_emb[3])
-        )
-        girb = (
-            jnp.zeros_like(params["irb"]).at[i].add(g_emb[4]).at[j].add(g_emb[5])
-        )
-        tu = jnp.zeros(params["ure"].shape[0], bool).at[u].set(True)[:, None]
-        ti = (
-            jnp.zeros(params["ire"].shape[0], bool)
-            .at[i]
-            .set(True)
-            .at[j]
-            .set(True)[:, None]
-        )
-        ure, m_ure = rms_rows(params["ure"], ms["ure"], gure, tu)
-        uce, m_uce = rms_rows(params["uce"], ms["uce"], guce, tu)
-        ire, m_ire = rms_rows(params["ire"], ms["ire"], gire, ti)
-        irb, m_irb = rms_rows(params["irb"], ms["irb"], girb, ti[:, 0])
+        ure, m_ure = sparse_rmsprop(params["ure"], ms["ure"], u, g_emb[0], lr)
+        uce, m_uce = sparse_rmsprop(params["uce"], ms["uce"], u, g_emb[1], lr)
+        ij = jnp.concatenate([i, j])
+        gire = jnp.concatenate([g_emb[2], g_emb[3]], axis=0)
+        ire, m_ire = sparse_rmsprop(params["ire"], ms["ire"], ij, gire, lr)
+        girb = jnp.concatenate([g_emb[4], g_emb[5]], axis=0)
+        irb, m_irb = sparse_rmsprop(params["irb"], ms["irb"], ij, girb, lr)
         cem, m_cem = rms_dense(params["cem"], ms["cem"], g_cem)
         icb, m_icb = rms_dense(params["icb"], ms["icb"], g_icb)
         new_params = {
@@ -171,8 +164,7 @@ def _train_chunk(
         }
         return (new_params, new_ms), loss
 
-    keys = jax.random.split(key, n_steps)
-    (params, ms), losses = jax.lax.scan(step, (params, ms), keys)
+    (params, ms), losses = jax.lax.scan(step, (params, ms), steps_uij)
     return params, ms, jnp.sum(losses)
 
 

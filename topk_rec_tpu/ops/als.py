@@ -41,56 +41,45 @@ def gram_matrix(emb: jax.Array, rows: Optional[jax.Array] = None) -> jax.Array:
     return jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
 
 
-def batched_solve(A: jax.Array, rhs: jax.Array) -> jax.Array:
-    """Solve A_t x_t = rhs_t for a batch of SPD k×k systems."""
-    return jnp.linalg.solve(A, rhs[..., None])[..., 0]
+def batched_solve(
+    A: jax.Array, rhs: jax.Array, extra_iters: int = 14
+) -> jax.Array:
+    """Solve A_t x_t = rhs_t for a batch of SPD k×k systems.
 
+    Conjugate gradients, k + extra_iters iterations: CG on a k×k SPD
+    system terminates exactly at k steps in exact arithmetic; the extra
+    iterations absorb fp32 rounding. Chosen over ``jnp.linalg.solve``
+    because TPU's batched LU lowering both runs as a scalar loop
+    (~70 ms for [4096,50,50]) and produces enormous programs (a whole-sweep
+    scan containing it took 24 minutes to compile); CG is a tiny fori_loop
+    of batched matmul-vector products on the MXU.
+    """
+    k = A.shape[-1]
 
-@partial(
-    jax.jit,
-    static_argnames=("block_size", "n_other", "use_prior", "keep_old_unrated"),
-)
-def _als_block(
-    rows: jax.Array,        # int32 [cap] block-local row of each positive (B = pad)
-    cols: jax.Array,        # int32 [cap] other-side index of each positive
-    other_emb: jax.Array,   # [n_other, k]
-    vv: jax.Array,          # [n_other, k*k] row-wise outer products of other_emb
-    gram_b: jax.Array,      # [k, k] b-weighted Gram over rated other rows
-    old_block: jax.Array,   # [B, k] current values (kept where not updated)
-    deg_block: jax.Array,   # int32 [B]
-    prior_block: jax.Array, # [B, k] (zeros when use_prior=False)
-    a: float,
-    b: float,
-    lam: float,
-    block_size: int,
-    n_other: int,
-    use_prior: bool,
-    keep_old_unrated: bool,
-) -> Tuple[jax.Array, jax.Array]:
-    k = other_emb.shape[1]
-    dtype = other_emb.dtype
-    # Selection matrix with one sentinel row for padding (rows == block_size).
-    S = (
-        jnp.zeros((block_size + 1, n_other), dtype=dtype)
-        .at[rows, cols]
-        .add(1.0)[:block_size]
+    def matvec(X):
+        return jnp.einsum("...ij,...j->...i", A, X)
+
+    X = jnp.zeros_like(rhs)
+    R = rhs
+    P = R
+    rs = jnp.sum(R * R, axis=-1)
+
+    def body(_, state):
+        X, R, P, rs = state
+        AP = matvec(P)
+        denom = jnp.maximum(jnp.sum(P * AP, axis=-1), 1e-30)
+        alpha = rs / denom
+        X = X + alpha[..., None] * P
+        R = R - alpha[..., None] * AP
+        rs_new = jnp.sum(R * R, axis=-1)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        P = R + beta[..., None] * P
+        return X, R, P, rs_new
+
+    X, _, _, _ = jax.lax.fori_loop(
+        0, k + extra_iters, body, (X, R, P, rs)
     )
-    P = jnp.dot(S, vv, preferred_element_type=jnp.float32)      # [B, k*k]
-    sum_v = jnp.dot(S, other_emb, preferred_element_type=jnp.float32)  # [B, k]
-    A_fit = gram_b[None, :, :] + (a - b) * P.reshape(block_size, k, k)
-    A = A_fit + lam * jnp.eye(k, dtype=jnp.float32)[None]
-    rhs = a * sum_v
-    if use_prior:
-        rhs = rhs + lam * prior_block
-    new = batched_solve(A, rhs)
-    if keep_old_unrated:
-        new = jnp.where((deg_block > 0)[:, None], new, old_block)
-    # Fit-loss pieces for the reference's convergence loss (wmf.py:91-97):
-    # Σ_rated [ 0.5·deg·a + 0.5·x̂ᵀA_fit x̂ − a·(Σv)·x̂ ]
-    quad = 0.5 * jnp.einsum("bi,bij,bj->b", new, A_fit, new)
-    lin = a * jnp.sum(sum_v * new, axis=1)
-    fit = jnp.where(deg_block > 0, 0.5 * deg_block * a + quad - lin, 0.0)
-    return new, jnp.sum(fit)
+    return X
 
 
 class ALSPlan:
@@ -98,7 +87,8 @@ class ALSPlan:
 
     Blocks are contiguous index ranges; per-block (row, col) positive pairs
     are padded once to the max block nnz so every block reuses a single
-    compiled kernel.
+    compiled kernel, and the stacked [n_blocks, ...] layout lets the whole
+    sweep run as one ``lax.scan`` on device.
     """
 
     def __init__(
@@ -118,6 +108,7 @@ class ALSPlan:
             r1 = min(r0 + block_size, n_this)
             cap = max(cap, int(indptr[r1] - indptr[r0]))
         self.cap = cap
+        rows_l, cols_l, deg_l = [], [], []
         for r0 in bounds:
             r1 = min(r0 + block_size, n_this)
             lo, hi = int(indptr[r0]), int(indptr[r1])
@@ -133,17 +124,100 @@ class ALSPlan:
             self.blocks.append(
                 (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(deg_block))
             )
+            rows_l.append(rows)
+            cols_l.append(cols)
+            deg_l.append(deg_block)
+        self.n_blocks = len(bounds)
+        # stacked device layout for the fused whole-sweep scan
+        self.rows_stack = jnp.asarray(np.stack(rows_l))
+        self.cols_stack = jnp.asarray(np.stack(cols_l))
+        self.deg_stack = jnp.asarray(np.stack(deg_l))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size",
+        "n_this",
+        "use_prior",
+        "keep_old_unrated",
+    ),
+)
+def _als_sweep(
+    rows_stack: jax.Array,    # int32 [n_blocks, cap]
+    cols_stack: jax.Array,    # int32 [n_blocks, cap]
+    deg_stack: jax.Array,     # int32 [n_blocks, block]
+    this_emb: jax.Array,      # [n_this, k]
+    other_emb: jax.Array,     # [n_other, k]
+    rated_mask: jax.Array,    # float32 [n_other] — 1 for rated rows
+    prior: jax.Array,         # [n_this, k] (zeros when unused)
+    a: float,
+    b: float,
+    lam: float,
+    block_size: int,
+    n_this: int,
+    use_prior: bool,
+    keep_old_unrated: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Whole half-sweep as one compiled scan over blocks (no host syncs)."""
+    n_blocks = rows_stack.shape[0]
+    n_other, k = other_emb.shape
+    # row-wise outer products via broadcast multiply (einsum 'nk,nl->nkl'
+    # lowers poorly on this backend)
+    vv = (other_emb[:, :, None] * other_emb[:, None, :]).reshape(
+        n_other, k * k
+    )
+    sel = other_emb * rated_mask[:, None]
+    gram_b = b * jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
+    pad = n_blocks * block_size - n_this
+    old_stack = jnp.pad(this_emb, ((0, pad), (0, 0))).reshape(
+        n_blocks, block_size, k
+    )
+    prior_stack = jnp.pad(prior, ((0, pad), (0, 0))).reshape(
+        n_blocks, block_size, k
+    )
+    eye = lam * jnp.eye(k, dtype=jnp.float32)
+
+    def block(_, xs):
+        rows, cols, deg_block, old_block, prior_block = xs
+        S = (
+            jnp.zeros((block_size + 1, n_other), dtype=jnp.float32)
+            .at[rows, cols]
+            .add(1.0)[:block_size]
+        )
+        P = jnp.dot(S, vv, preferred_element_type=jnp.float32)
+        sum_v = jnp.dot(S, other_emb, preferred_element_type=jnp.float32)
+        A_fit = gram_b[None, :, :] + (a - b) * P.reshape(block_size, k, k)
+        A = A_fit + eye[None]
+        rhs = a * sum_v
+        if use_prior:
+            rhs = rhs + lam * prior_block
+        new = batched_solve(A, rhs)
+        if keep_old_unrated:
+            new = jnp.where((deg_block > 0)[:, None], new, old_block)
+        quad = 0.5 * jnp.einsum("bi,bij,bj->b", new, A_fit, new)
+        lin = a * jnp.sum(sum_v * new, axis=1)
+        fit = jnp.where(deg_block > 0, 0.5 * deg_block * a + quad - lin, 0.0)
+        return None, (new, jnp.sum(fit))
+
+    _, (new_stack, fits) = jax.lax.scan(
+        block,
+        None,
+        (rows_stack, cols_stack, deg_stack, old_stack, prior_stack),
+    )
+    new = new_stack.reshape(n_blocks * block_size, k)[:n_this]
+    return new, jnp.sum(fits)
 
 
 def half_sweep(
     plan: ALSPlan,
-    this_emb: np.ndarray,
-    other_emb: jax.Array,
-    rated_other: jax.Array,
+    this_emb,
+    other_emb,
+    rated_other,
     a: float,
     b: float,
     lam: float,
-    prior: Optional[np.ndarray] = None,
+    prior=None,
     keep_old_unrated: bool = True,
 ) -> Tuple[np.ndarray, float]:
     """One ALS half-sweep: update ``this_emb`` given fixed ``other_emb``.
@@ -152,46 +226,39 @@ def half_sweep(
     ``prior`` enables the content-coupled RHS (+λ·prior, CER/DPM semantics,
     ref cer.py:49-63); with a prior, unrated entities are solved from the
     prior alone (ref cer.py:62) instead of kept (ref wmf.py:82 guard).
+    The whole sweep executes as one device program.
     """
     other_emb = jnp.asarray(other_emb)
     k = other_emb.shape[1]
     n_other = other_emb.shape[0]
-    vv = jnp.einsum("nk,nl->nkl", other_emb, other_emb).reshape(n_other, k * k)
-    gram_b = b * gram_matrix(other_emb, rated_other)
+    rated_mask = (
+        jnp.zeros(n_other, jnp.float32).at[jnp.asarray(rated_other)].set(1.0)
+    )
     use_prior = prior is not None
-    zeros_prior = np.zeros((plan.block_size, k), dtype=np.float32)
-    out = np.array(this_emb, dtype=np.float32, copy=True)
-    fit_total = 0.0
-    for bi, (rows, cols, deg_block) in enumerate(plan.blocks):
-        r0 = bi * plan.block_size
-        r1 = min(r0 + plan.block_size, plan.n_this)
-        old_block = np.zeros((plan.block_size, k), dtype=np.float32)
-        old_block[: r1 - r0] = out[r0:r1]
-        if use_prior:
-            prior_block = np.zeros((plan.block_size, k), dtype=np.float32)
-            prior_block[: r1 - r0] = prior[r0:r1]
-        else:
-            prior_block = zeros_prior
-        new, fit = _als_block(
-            rows,
-            cols,
-            other_emb,
-            vv,
-            gram_b,
-            jnp.asarray(old_block),
-            deg_block,
-            jnp.asarray(prior_block),
-            float(a),
-            float(b),
-            float(lam),
-            plan.block_size,
-            n_other,
-            use_prior,
-            keep_old_unrated and not use_prior,
-        )
-        out[r0:r1] = np.asarray(new)[: r1 - r0]
-        fit_total += float(fit)
-    return out, fit_total
+    prior_dev = (
+        jnp.asarray(prior)
+        if use_prior
+        else jnp.zeros((plan.n_this, k), jnp.float32)
+    )
+    new, fit = _als_sweep(
+        plan.rows_stack,
+        plan.cols_stack,
+        plan.deg_stack,
+        jnp.asarray(this_emb),
+        other_emb,
+        rated_mask,
+        prior_dev,
+        float(a),
+        float(b),
+        float(lam),
+        plan.block_size,
+        plan.n_this,
+        use_prior,
+        keep_old_unrated and not use_prior,
+    )
+    # np.array (not asarray): jax buffers are read-only zero-copy views and
+    # callers mutate the result (cold-start writeback)
+    return np.array(new), float(fit)
 
 
 def weighted_als_user_update(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.als import ALSPlan, gram_matrix
+from ..ops.als import ALSPlan, batched_solve, gram_matrix
 
 
 class DistributedALS:
@@ -62,7 +62,7 @@ class DistributedALS:
             rhs = a * sum_v
             if use_prior:
                 rhs = rhs + lam * prior_block
-            new = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+            new = batched_solve(A, rhs)
             if not use_prior:
                 new = jnp.where((deg_block > 0)[:, None], new, old_block)
             quad = 0.5 * jnp.einsum("bi,bij,bj->b", new, A_fit, new)
