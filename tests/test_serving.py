@@ -1,0 +1,68 @@
+"""Serving surface tests: exact path parity + seen exclusion."""
+
+import numpy as np
+import pytest
+
+from topk_rec_tpu.serving import TopKServer
+
+
+@pytest.fixture()
+def server(small_inter):
+    rng = np.random.default_rng(0)
+    U = rng.normal(size=(small_inter.n_users, 8)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, 8)).astype(np.float32)
+    b = rng.normal(size=small_inter.n_items).astype(np.float32)
+    return TopKServer(U, V, b, small_inter), U, V, b
+
+
+def test_exact_matches_numpy(server, small_inter):
+    srv, U, V, b = server
+    users = np.array([0, 5, 17, 44])
+    vals, idx = srv.recommend(users, k=10, method="exact")
+    seen = np.zeros((small_inter.n_users, small_inter.n_items), bool)
+    seen[small_inter.seen_u, small_inter.seen_i] = True
+    for row, u in enumerate(users):
+        scores = U[u] @ V.T + b
+        scores[seen[u]] = -np.inf
+        want = np.argsort(-scores)[:10]
+        np.testing.assert_array_equal(idx[row], want)
+        np.testing.assert_allclose(vals[row], scores[want], rtol=1e-5)
+
+
+def test_seen_items_never_served(server, small_inter):
+    srv, *_ = server
+    users = small_inter.rated_users[:20]
+    _, idx = srv.recommend(users, k=20, method="exact")
+    pos = set(zip(small_inter.seen_u.tolist(), small_inter.seen_i.tolist()))
+    for row, u in enumerate(users):
+        for item in idx[row]:
+            assert (int(u), int(item)) not in pos
+
+
+def test_pallas_method_matches_exact(server):
+    srv, *_ = server
+    users = np.arange(16)
+    ev, ei = srv.recommend(users, k=8, method="exact")
+    pv, pi = srv.recommend(users, k=8, method="pallas")
+    # pallas path uses fast (bf16) matmul for serving: indices may differ
+    # only where scores are within bf16 noise; compare values loosely
+    finite = np.isfinite(ev) & np.isfinite(pv)
+    np.testing.assert_allclose(pv[finite], ev[finite], rtol=2e-2, atol=1e-2)
+
+
+def test_approx_method_runs(server):
+    srv, *_ = server
+    vals, idx = srv.recommend(np.arange(8), k=5, method="approx")
+    assert idx.shape == (8, 5)
+    assert np.isfinite(vals).any()
+
+
+def test_from_model(small_inter):
+    from topk_rec_tpu.models import BPR
+
+    model = BPR(k=8, seed=0)
+    model.set_interactions(small_inter)
+    model.train(epochs=0, batch_size=64, verbose=False)
+    srv = TopKServer.from_model(model)
+    vals, idx = srv.recommend(np.array([1, 2]), k=5)
+    assert idx.shape == (2, 5)

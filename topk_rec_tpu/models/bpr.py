@@ -285,12 +285,18 @@ class BPR(Recommender):
             "lr": self.lr,
         }
         s = self.sampler
+        # Always launch whole scan_steps-sized chunks: every distinct
+        # n_steps is a separate compiled program, and a remainder chunk
+        # costs a full (slow) recompile for a few batches of work. The
+        # epoch therefore runs ceil(batch_limit/scan_steps)*scan_steps
+        # batches (the reference's batch_limit already has a +1 fudge,
+        # bpr.py:113).
+        n_chunks = max(1, -(-batch_limit // scan_steps))
         for eid in range(epochs):
             t0 = time.time()
             total_loss = 0.0
-            done = 0
-            while done < batch_limit:
-                n_steps = min(scan_steps, batch_limit - done)
+            for _ in range(n_chunks):
+                n_steps = scan_steps
                 key, sub = jax.random.split(key)
                 self._params, self._ms, loss = _train_chunk(
                     self._params,
@@ -309,7 +315,6 @@ class BPR(Recommender):
                     self.mode,
                 )
                 total_loss += float(loss)
-                done += n_steps
             if verbose:
                 tprint(
                     "Epoch %3d, loss %.4f, time %.3fs"

@@ -296,12 +296,13 @@ class VBPR(Recommender):
                 % (epochs, batch_limit, batch_size)
             )
         s = self.sampler
+        # whole chunks only — remainder shapes would recompile (see bpr.py)
+        n_chunks = max(1, -(-batch_limit // scan_steps))
         for eid in range(epochs):
             t0 = time.time()
             total_loss = 0.0
-            done = 0
-            while done < batch_limit:
-                n_steps = min(scan_steps, batch_limit - done)
+            for _ in range(n_chunks):
+                n_steps = scan_steps
                 key, sub = jax.random.split(key)
                 self._params, self._ms, loss = _train_chunk(
                     self._params,
@@ -321,7 +322,6 @@ class VBPR(Recommender):
                     self.mode,
                 )
                 total_loss += float(loss)
-                done += n_steps
             if verbose:
                 tprint(
                     "Epoch %3d, loss %.4f, time %.3fs"

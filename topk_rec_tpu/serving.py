@@ -1,0 +1,111 @@
+"""Serving surface: low-latency batched top-k recommendation queries.
+
+The reference has no serving path (its "serving" is the offline
+evaluate.py batch job); this is the production-facing API the framework
+adds: device-resident embedding tables + seen bitmaps, jit-compiled query
+scoring with three selection backends:
+
+  * ``exact``  — lax.top_k over the masked score row (protocol-exact);
+  * ``approx`` — jax.lax.approx_max_k, TPU's hardware-friendly partial
+    reduction (recall ~0.95 default) for latency-critical paths;
+  * ``pallas`` — the fused score+mask+top-k kernel (ops/topk_pallas.py),
+    which never materializes the [batch, catalog] score matrix.
+
+Seen-item exclusion uses the packed training bitmap exactly like offline
+eval, so served lists match evaluate-time semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.dataset import Interactions
+
+
+@partial(jax.jit, static_argnames=("k", "method", "n_items"))
+def _query(
+    user_emb: jax.Array,     # [B, dim] gathered user rows
+    V: jax.Array,            # [n_items, dim]
+    bias: Optional[jax.Array],
+    seen_words: jax.Array,   # [B, n_words] uint32
+    k: int,
+    method: str,
+    n_items: int,
+):
+    from .ops.topk_pallas import expand_seen_mask
+
+    mask = expand_seen_mask(seen_words, n_items)
+    if method == "pallas":
+        from .ops.topk_pallas import NEG_INF, fused_score_topk
+
+        vals, idx = fused_score_topk(
+            user_emb, V, bias, mask, k, exact_matmul=False
+        )
+        return jnp.where(vals <= NEG_INF, -jnp.inf, vals), idx
+    scores = jnp.dot(user_emb, V.T, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias[None, :]
+    scores = jnp.where(mask != 0, -jnp.inf, scores)
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, k)
+    return jax.lax.top_k(scores, k)
+
+
+class TopKServer:
+    """Holds one model's tables on device and answers top-k queries."""
+
+    def __init__(
+        self,
+        U: np.ndarray,
+        V: np.ndarray,
+        bias: Optional[np.ndarray] = None,
+        interactions: Optional[Interactions] = None,
+        exclude_seen: bool = True,
+    ):
+        self.U = jnp.asarray(U, dtype=jnp.float32)
+        self.V = jnp.asarray(V, dtype=jnp.float32)
+        self.bias = (
+            jnp.asarray(bias, dtype=jnp.float32).reshape(-1)
+            if bias is not None
+            else None
+        )
+        self.n_items = self.V.shape[0]
+        n_words = (self.n_items + 31) // 32
+        if exclude_seen and interactions is not None:
+            self.seen = jnp.asarray(interactions.seen_bitmap)
+        else:
+            self.seen = jnp.zeros((self.U.shape[0], n_words), jnp.uint32)
+
+    @classmethod
+    def from_model(cls, model, exclude_seen: bool = True) -> "TopKServer":
+        return cls(
+            model.fue, model.fie, model.fib, model.inter, exclude_seen
+        )
+
+    def recommend(
+        self,
+        user_ids: np.ndarray,
+        k: int = 30,
+        method: str = "exact",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k unseen items for a batch of users.
+
+        Returns (scores [B, k], item_ids [B, k]); slots with score -inf
+        mean the user has fewer than k unseen items.
+        """
+        uid = jnp.asarray(np.asarray(user_ids, dtype=np.int32))
+        vals, idx = _query(
+            self.U[uid],
+            self.V,
+            self.bias,
+            self.seen[uid],
+            k,
+            method,
+            self.n_items,
+        )
+        return np.asarray(vals), np.asarray(idx)
