@@ -105,3 +105,16 @@ def test_interactions_from_files(fold_files):
     assert inter.n_users == 3 and inter.n_items == 4
     assert inter.nnz == 2
     assert list(inter.seen_u) == [0, 0, 1]
+
+
+def test_mfp_roundtrip(tmp_path):
+    from topk_rec_tpu.data.io import read_mfp, write_mfp
+
+    indptr = np.array([0, 2, 2, 5], dtype=np.int32)
+    flat = np.array([3, 1, 0, 2, 4], dtype=np.int32)
+    p = tmp_path / "users.mfp"
+    write_mfp(str(p), indptr, flat)
+    assert p.read_text() == "2 3 1\n0\n3 0 2 4\n"
+    back_indptr, back_flat = read_mfp(str(p))
+    np.testing.assert_array_equal(back_indptr, indptr)
+    np.testing.assert_array_equal(back_flat, flat)

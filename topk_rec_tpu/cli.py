@@ -30,7 +30,7 @@ if os.environ.get("TKR_PLATFORM"):
 
 import numpy as np
 
-from .data import Interactions, load_id_map, read_dat
+from .data import Interactions, load_id_map, read_dat  # noqa: F401
 from .eval import DeviceEvaluator
 from .eval.protocol import load_test_likes
 from .utils import tprint
@@ -141,10 +141,14 @@ def cmd_train(args) -> int:
             args.k, model.d, hidden_layers=tuple(args.encoder_hidden),
             seed=args.seed,
         )
-        model.train(enc, max_iter=args.max_iter, model_path=args.warm_start)
+        model.train(
+            enc, max_iter=args.max_iter, model_path=args.warm_start,
+            log_dir=args.log_dir,
+        )
     else:
         model.train(
-            max_iter=args.max_iter, tol=args.tol, model_path=args.warm_start
+            max_iter=args.max_iter, tol=args.tol,
+            model_path=args.warm_start, log_dir=args.log_dir,
         )
     model.export_embeddings(args.out)
     tprint(f"Exported embeddings to {args.out}")
@@ -247,6 +251,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--als-b", type=float, default=0.01)
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--warm-start", default=None)
+    pt.add_argument("--log-dir", default=None,
+                    help="write state.log/settings.txt here (ALS models)")
     pt.add_argument("--encoder-hidden", type=int, nargs="+",
                     default=[2000, 1000])
     pt.set_defaults(func=cmd_train)

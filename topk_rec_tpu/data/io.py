@@ -175,6 +175,41 @@ def load_features(
     return out
 
 
+def read_mfp(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read the legacy sparse ``.mfp`` format into CSR arrays.
+
+    Each line is ``count id1 id2 ...`` (reference old/cr/data.h:1-6,
+    data.cpp:17-39 — the native solver's user-major / item-major inputs).
+    Returns (indptr [n_rows+1], flat ids [nnz]) int32.
+    """
+    indptr = [0]
+    flat: List[int] = []
+    with open(path, "r") as f:
+        for line in f:
+            terms = line.split()
+            if not terms:
+                continue
+            count = int(terms[0])
+            ids = [int(t) for t in terms[1 : 1 + count]]
+            flat.extend(ids)
+            indptr.append(len(flat))
+    return (
+        np.asarray(indptr, dtype=np.int32),
+        np.asarray(flat, dtype=np.int32),
+    )
+
+
+def write_mfp(path: str, indptr: np.ndarray, flat: np.ndarray) -> None:
+    """Write CSR arrays in the legacy ``.mfp`` format."""
+    with open(path, "w") as f:
+        for r in range(len(indptr) - 1):
+            ids = flat[indptr[r]:indptr[r + 1]]
+            f.write(str(len(ids)))
+            for i in ids:
+                f.write(f" {i}")
+            f.write("\n")
+
+
 # ---------------------------------------------------------------------------
 # Native fast-path plumbing
 
