@@ -294,7 +294,7 @@ class BPR(Recommender):
         n_chunks = max(1, -(-batch_limit // scan_steps))
         for eid in range(epochs):
             t0 = time.time()
-            total_loss = 0.0
+            chunk_losses = []
             for _ in range(n_chunks):
                 n_steps = scan_steps
                 key, sub = jax.random.split(key)
@@ -314,7 +314,10 @@ class BPR(Recommender):
                     n_steps,
                     self.mode,
                 )
-                total_loss += float(loss)
+                # keep the loss on device: a host sync per chunk costs a
+                # full round trip through the remote-device tunnel
+                chunk_losses.append(loss)
+            total_loss = float(jnp.sum(jnp.stack(chunk_losses)))
             if verbose:
                 tprint(
                     "Epoch %3d, loss %.4f, time %.3fs"

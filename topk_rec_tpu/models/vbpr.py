@@ -206,6 +206,15 @@ class VBPR(Recommender):
     def _on_data_loaded(self) -> None:
         self.sampler = TripletSampler(self.inter, self.k_candidates)
 
+    def set_features(self, feat) -> None:
+        super().set_features(feat)
+        self._feat_dev = None  # invalidate device cache
+
+    def _feat_device(self):
+        if getattr(self, "_feat_dev", None) is None:
+            self._feat_dev = jnp.asarray(self.feat)
+        return self._feat_dev
+
     def _init_params(self, key: jax.Array) -> None:
         """N(0,0.01) embeddings, zero biases, cem const 2/(d·k)
         (ref vbpr.py:37-48), honoring warm-start splits
@@ -277,7 +286,7 @@ class VBPR(Recommender):
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
         self._init_params(init_key)
-        feat_dev = jnp.asarray(self.feat)
+        feat_dev = self._feat_device()
         hyper = {
             "lu": self.lu,
             "li": self.li,
@@ -300,7 +309,7 @@ class VBPR(Recommender):
         n_chunks = max(1, -(-batch_limit // scan_steps))
         for eid in range(epochs):
             t0 = time.time()
-            total_loss = 0.0
+            chunk_losses = []
             for _ in range(n_chunks):
                 n_steps = scan_steps
                 key, sub = jax.random.split(key)
@@ -321,7 +330,8 @@ class VBPR(Recommender):
                     n_steps,
                     self.mode,
                 )
-                total_loss += float(loss)
+                chunk_losses.append(loss)  # defer sync (see models/bpr.py)
+            total_loss = float(jnp.sum(jnp.stack(chunk_losses)))
             if verbose:
                 tprint(
                     "Epoch %3d, loss %.4f, time %.3fs"

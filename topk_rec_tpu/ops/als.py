@@ -41,45 +41,80 @@ def gram_matrix(emb: jax.Array, rows: Optional[jax.Array] = None) -> jax.Array:
     return jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
 
 
-def batched_solve(
-    A: jax.Array, rhs: jax.Array, extra_iters: int = 14
-) -> jax.Array:
+def batched_solve(A: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve A_t x_t = rhs_t for a batch of SPD k×k systems.
 
-    Conjugate gradients, k + extra_iters iterations: CG on a k×k SPD
-    system terminates exactly at k steps in exact arithmetic; the extra
-    iterations absorb fp32 rounding. Chosen over ``jnp.linalg.solve``
-    because TPU's batched LU lowering both runs as a scalar loop
-    (~70 ms for [4096,50,50]) and produces enormous programs (a whole-sweep
-    scan containing it took 24 minutes to compile); CG is a tiny fori_loop
-    of batched matmul-vector products on the MXU.
+    Hand-built batched Cholesky + triangular solves from ``fori_loop`` +
+    dynamic slices. Chosen over the obvious alternatives:
+      * ``jnp.linalg.solve`` (batched LU): lowers to a scalar loop on TPU
+        (~70 ms for [4096,50,50]) and explodes compile time (a whole-sweep
+        scan containing it took 24 minutes to compile);
+      * conjugate gradients: fast and tiny, but diverges to NaN in fp32 on
+        the ill-conditioned systems ALS produces when the fixed-side
+        vectors are nearly collinear (e.g. an untrained encoder's outputs
+        in DPM — rank-1-dominant A with cond ~1e5).
+    Cholesky is numerically stable for SPD systems, exact, and the looped
+    formulation keeps the program small (3 loops of k steps of batched
+    vector ops).
     """
+    squeeze = rhs.ndim == A.ndim - 1
+    if squeeze:
+        rhs = rhs[..., None]
     k = A.shape[-1]
+    row_idx = jnp.arange(k)
+    # fp32 safety on near-singular systems (e.g. rank-1-dominant normal
+    # matrices from nearly-collinear fixed-side vectors): trace-scaled
+    # jitter keeps trailing pivots positive; the clip floor is relative so
+    # a rounding-negative pivot can't explode into inf.
+    scale = (
+        jnp.trace(A, axis1=-2, axis2=-1) / k
+    )[..., None, None]
+    A = A + 1e-6 * scale * jnp.eye(k, dtype=A.dtype)
+    pivot_floor = 1e-10 * scale
 
-    def matvec(X):
-        return jnp.einsum("...ij,...j->...i", A, X)
+    def chol_body(j, state):
+        L, A = state
+        ajj = jnp.maximum(
+            jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(A, j, 1, axis=-1), j, 1, axis=-2
+            ),
+            pivot_floor,
+        )  # [..., 1, 1]
+        d = jnp.sqrt(ajj)
+        col = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=-1) / d  # [...,k,1]
+        mask = (row_idx >= j)[..., :, None]
+        col = jnp.where(mask, col, 0.0)
+        L = jax.lax.dynamic_update_slice_in_dim(L, col, j, axis=-1)
+        A = A - col * jnp.swapaxes(col, -1, -2)
+        return L, A
 
-    X = jnp.zeros_like(rhs)
-    R = rhs
-    P = R
-    rs = jnp.sum(R * R, axis=-1)
-
-    def body(_, state):
-        X, R, P, rs = state
-        AP = matvec(P)
-        denom = jnp.maximum(jnp.sum(P * AP, axis=-1), 1e-30)
-        alpha = rs / denom
-        X = X + alpha[..., None] * P
-        R = R - alpha[..., None] * AP
-        rs_new = jnp.sum(R * R, axis=-1)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        P = R + beta[..., None] * P
-        return X, R, P, rs_new
-
-    X, _, _, _ = jax.lax.fori_loop(
-        0, k + extra_iters, body, (X, R, P, rs)
+    L, _ = jax.lax.fori_loop(
+        0, k, chol_body, (jnp.zeros_like(A), A)
     )
-    return X
+
+    # forward substitution: L y = rhs
+    def fwd_body(j, y):
+        Lrow = jax.lax.dynamic_slice_in_dim(L, j, 1, axis=-2)  # [...,1,k]
+        ljj = jax.lax.dynamic_slice_in_dim(Lrow, j, 1, axis=-1)
+        rj = jax.lax.dynamic_slice_in_dim(rhs, j, 1, axis=-2)
+        yj = (rj - jnp.matmul(Lrow, y)) / ljj
+        return jax.lax.dynamic_update_slice_in_dim(y, yj, j, axis=-2)
+
+    y = jax.lax.fori_loop(0, k, fwd_body, jnp.zeros_like(rhs))
+
+    # back substitution: Lᵀ x = y
+    Lt = jnp.swapaxes(L, -1, -2)
+
+    def bwd_body(i, x):
+        j = k - 1 - i
+        Lrow = jax.lax.dynamic_slice_in_dim(Lt, j, 1, axis=-2)
+        ljj = jax.lax.dynamic_slice_in_dim(Lrow, j, 1, axis=-1)
+        yj = jax.lax.dynamic_slice_in_dim(y, j, 1, axis=-2)
+        xj = (yj - jnp.matmul(Lrow, x)) / ljj
+        return jax.lax.dynamic_update_slice_in_dim(x, xj, j, axis=-2)
+
+    x = jax.lax.fori_loop(0, k, bwd_body, jnp.zeros_like(rhs))
+    return x[..., 0] if squeeze else x
 
 
 class ALSPlan:
