@@ -65,3 +65,56 @@ def test_untouched_rows_unchanged():
     untouched = [0, 1, 3, 5, 6, 7, 8, 9]
     np.testing.assert_array_equal(np.asarray(got_t)[untouched], table[untouched])
     np.testing.assert_array_equal(np.asarray(got_a)[untouched], acc[untouched])
+
+
+def test_planned_matches_sparse_rmsprop():
+    """plan_sparse_updates + planned_rmsprop == sparse_rmsprop, per step."""
+    from topk_rec_tpu.ops.sparse_update import (
+        plan_sparse_updates,
+        planned_rmsprop,
+    )
+
+    rng = np.random.default_rng(3)
+    n_rows, k, steps, m = 17, 5, 4, 9
+    idx_all = rng.integers(0, n_rows, size=(steps, m)).astype(np.int32)
+    idx_all[0, :4] = 7  # force heavy duplication
+    grads_all = rng.normal(size=(steps, m, k)).astype(np.float32)
+    uniq, seg = plan_sparse_updates(jnp.asarray(idx_all))
+
+    t_ref = jnp.asarray(rng.normal(size=(n_rows, k)).astype(np.float32))
+    a_ref = jnp.asarray(np.abs(rng.normal(size=(n_rows, k))).astype(np.float32))
+    t_new, a_new = t_ref, a_ref
+    for s in range(steps):
+        g = jnp.asarray(grads_all[s])
+        t_ref, a_ref = sparse_rmsprop(
+            t_ref, a_ref, jnp.asarray(idx_all[s]), g, lr=0.05
+        )
+        t_new, a_new = planned_rmsprop(
+            t_new, a_new, uniq[s], seg[s], g, lr=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_new), np.asarray(t_ref), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_new), np.asarray(a_ref), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_planned_vector_table():
+    from topk_rec_tpu.ops.sparse_update import (
+        plan_sparse_updates,
+        planned_rmsprop,
+    )
+
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.normal(size=12).astype(np.float32))
+    acc = jnp.asarray(np.abs(rng.normal(size=12)).astype(np.float32))
+    idx = np.array([[5, 5, 1]], dtype=np.int32)
+    grads = jnp.asarray(rng.normal(size=3).astype(np.float32))
+    uniq, seg = plan_sparse_updates(jnp.asarray(idx))
+    got_t, got_a = planned_rmsprop(table, acc, uniq[0], seg[0], grads, lr=0.01)
+    want_t, want_a = sparse_rmsprop(
+        table, acc, jnp.asarray(idx[0]), grads, lr=0.01
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), rtol=1e-5)

@@ -59,7 +59,19 @@ def _train_chunk(
     n_steps: int,
     mode: str,
 ):
-    """Run ``n_steps`` sampled BPR/RMSProp steps in one compiled program."""
+    """Run ``n_steps`` sampled BPR/RMSProp steps in one compiled program.
+
+    Layout/scheduling choices (measured on v5e, see BASELINE.md):
+
+    * the whole chunk's triplets are sampled in one fused call (iid across
+      steps, identical in distribution to per-step sampling), keeping the
+      rejection-fixup ``while_loop`` out of the scan body;
+    * duplicate-row aggregation structure (sort/unique/segment maps) is
+      planned for ALL steps in one vmapped pass up front — the scan body
+      carries no sorts (ops/sparse_update.plan_sparse_updates);
+    * the item bias lives as an extra column of the item table inside the
+      chunk, so each step updates two tables, not three.
+    """
     lu, li, lj, lb, lr = (
         hyper["lu"],
         hyper["li"],
@@ -67,12 +79,14 @@ def _train_chunk(
         hyper["lb"],
         hyper["lr"],
     )
+    k = params["ue"].shape[1]
 
     from ..ops.sampling import _sample_triplets
-    from ..ops.sparse_update import sparse_rmsprop
+    from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
 
-    def loss_fn(gathered):
-        pu, pi, pj, bi, bj = gathered
+    def loss_fn(pu, pit, pjt):
+        pi, bi = pit[:, :k], pit[:, k]
+        pj, bj = pjt[:, :k], pjt[:, k]
         x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
         nll = jnp.sum(jnp.logaddexp(0.0, -x))  # = sum log(1 + exp(-x))
         if mode == "l2":
@@ -88,9 +102,6 @@ def _train_chunk(
             )
         return nll + reg
 
-    # Sample the whole chunk's triplets in one fused call (iid across
-    # steps, so identical in distribution to per-step sampling) — keeps
-    # the rejection-fixup while_loop out of the scan body.
     u_all, i_all, j_all = _sample_triplets(
         key,
         tr_users,
@@ -102,68 +113,42 @@ def _train_chunk(
         n_items,
         k_candidates,
     )
-    steps_uij = (
-        u_all.reshape(n_steps, batch_size),
-        i_all.reshape(n_steps, batch_size),
-        j_all.reshape(n_steps, batch_size),
+    u_steps = u_all.reshape(n_steps, batch_size)
+    i_steps = i_all.reshape(n_steps, batch_size)
+    j_steps = j_all.reshape(n_steps, batch_size)
+    uniq_u, seg_u = plan_sparse_updates(u_steps)
+    uniq_ij, seg_ij = plan_sparse_updates(
+        jnp.concatenate([i_steps, j_steps], axis=1)
     )
+    xs = (u_steps, i_steps, j_steps, uniq_u, seg_u, uniq_ij, seg_ij)
 
-    # Strategy choice (static shapes): the sparse path costs one
-    # batch-sized sort + O(B·k) row ops; the dense path rewrites the whole
-    # table (O(n·k)). Measured crossover on v5e is around B ~ n/16.
-    n_users_total = indptr.shape[0] - 1
-    use_sparse = batch_size * 16 < n_users_total
+    # bias as column k of the item table: one fused gather/update per side.
+    # (An interleaved [param | acc] row layout that merged each table with
+    # its accumulator measured 7.5x SLOWER on v5e — the widened gathers +
+    # segment-map reconstruction hit a slow XLA gather path — so the
+    # tables and accumulators stay separate.)
+    iet = jnp.concatenate([params["ie"], params["ib"][:, None]], axis=1)
+    mst = jnp.concatenate([ms["ie"], ms["ib"][:, None]], axis=1)
 
-    def dense_rmsprop(p, m, g, touched):
-        m_new = jnp.where(touched, 0.9 * m + 0.1 * g * g, m)
-        upd = jnp.where(touched, g / jnp.sqrt(m_new + 1e-10), 0.0)
-        return p - lr * upd, m_new
-
-    def step(carry, uij):
-        params, ms = carry
-        u, i, j = uij
-        gathered = (
-            params["ue"][u],
-            params["ie"][i],
-            params["ie"][j],
-            params["ib"][i],
-            params["ib"][j],
+    def step(carry, xs):
+        ue, iet, ms_u, ms_it = carry
+        u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
+        pu = ue[u]
+        pit = iet[i]
+        pjt = iet[j]
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            pu, pit, pjt
         )
-        loss, grads = jax.value_and_grad(loss_fn)(gathered)
-        ij = jnp.concatenate([i, j])
-        if use_sparse:
-            # touched-rows-only RMSProp (TF IndexedSlices semantics)
-            ue, ms_u = sparse_rmsprop(
-                params["ue"], ms["ue"], u, grads[0], lr
-            )
-            gi = jnp.concatenate([grads[1], grads[2]], axis=0)
-            ie, ms_i = sparse_rmsprop(params["ie"], ms["ie"], ij, gi, lr)
-            gb = jnp.concatenate([grads[3], grads[4]], axis=0)
-            ib, ms_b = sparse_rmsprop(params["ib"], ms["ib"], ij, gb, lr)
-        else:
-            gu = jnp.zeros_like(params["ue"]).at[u].add(grads[0])
-            gi = (
-                jnp.zeros_like(params["ie"])
-                .at[i].add(grads[1]).at[j].add(grads[2])
-            )
-            gb = (
-                jnp.zeros_like(params["ib"])
-                .at[i].add(grads[3]).at[j].add(grads[4])
-            )
-            tu = jnp.zeros(params["ue"].shape[0], bool).at[u].set(True)[:, None]
-            ti = (
-                jnp.zeros(params["ie"].shape[0], bool)
-                .at[ij].set(True)[:, None]
-            )
-            ue, ms_u = dense_rmsprop(params["ue"], ms["ue"], gu, tu)
-            ie, ms_i = dense_rmsprop(params["ie"], ms["ie"], gi, ti)
-            ib, ms_b = dense_rmsprop(params["ib"], ms["ib"], gb, ti[:, 0])
-        return (
-            {"ue": ue, "ie": ie, "ib": ib},
-            {"ue": ms_u, "ie": ms_i, "ib": ms_b},
-        ), loss
+        g_ij = jnp.concatenate([grads[1], grads[2]], axis=0)
+        ue, ms_u = planned_rmsprop(ue, ms_u, uq_u, sg_u, grads[0], lr)
+        iet, ms_it = planned_rmsprop(iet, ms_it, uq_ij, sg_ij, g_ij, lr)
+        return (ue, iet, ms_u, ms_it), loss
 
-    (params, ms), losses = jax.lax.scan(step, (params, ms), steps_uij)
+    (ue, iet, ms_u, ms_it), losses = jax.lax.scan(
+        step, (params["ue"], iet, ms["ue"], mst), xs
+    )
+    params = {"ue": ue, "ie": iet[:, :k], "ib": iet[:, k]}
+    ms = {"ue": ms_u, "ie": ms_it[:, :k], "ib": ms_it[:, k]}
     return params, ms, jnp.sum(losses)
 
 
@@ -185,7 +170,7 @@ class BPR(Recommender):
         lr: float = 1.0e-4,
         mode: str = "l2",
         seed: int = 0,
-        k_candidates: int = 8,
+        k_candidates: int = 2,
     ):
         super().__init__(k)
         self.lu = lambda_u

@@ -186,7 +186,7 @@ class VBPR(Recommender):
         lr: float = 1.0e-4,
         mode: str = "l2",
         seed: int = 0,
-        k_candidates: int = 8,
+        k_candidates: int = 2,
     ):
         super().__init__(k)
         self.d = d

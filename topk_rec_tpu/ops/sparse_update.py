@@ -27,6 +27,81 @@ import jax
 import jax.numpy as jnp
 
 
+def plan_sparse_updates(idx_all: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Precompute duplicate-aggregation structure for a chunk of steps.
+
+    The sort/unique work of a sparse update depends only on the row
+    *indices*, which for a whole chunk of SGD steps are known the moment
+    the chunk's batches are sampled. Doing it per step inside a
+    ``lax.scan`` serializes S tiny sorts; doing it here vmaps them into
+    one batched pass so the scan body is left with only segment-sums,
+    gathers and scatters.
+
+    Args:
+      idx_all: int32 ``[S, M]`` row indices per step (duplicates allowed).
+
+    Returns:
+      ``(uniq, seg)`` where ``uniq`` is int32 ``[S, M]`` — the distinct
+      rows touched at each step, padded with an out-of-bounds sentinel
+      (``max(idx)+M`` is NOT used; padding is ``2**31 - 1``, which JAX
+      gathers clamp and scatters in ``mode='drop'`` discard) — and
+      ``seg`` is int32 ``[S, M]`` mapping each batch position to its row's
+      slot in ``uniq``.
+    """
+    oob = jnp.int32(2**31 - 1)
+
+    def per_step(idx):
+        m = idx.shape[0]
+        order = jnp.argsort(idx)
+        sidx = idx[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
+        )
+        seg_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+        # segment slot for each original batch position
+        seg = jnp.zeros((m,), jnp.int32).at[order].set(seg_sorted)
+        # representative row per slot (duplicate writes carry equal values)
+        uniq = jnp.full((m,), oob, jnp.int32).at[seg_sorted].set(sidx)
+        return uniq, seg
+
+    return jax.vmap(per_step)(idx_all)
+
+
+def planned_rmsprop(
+    table: jax.Array,   # [n_rows, k] (or [n_rows] for biases)
+    acc: jax.Array,     # same shape — second-moment accumulator
+    uniq: jax.Array,    # int32 [M] distinct rows, OOB-padded (one plan step)
+    seg: jax.Array,     # int32 [M] batch position -> slot in uniq
+    grads: jax.Array,   # [M, k] (or [M]) per-occurrence gradients
+    lr: float,
+    decay: float = 0.9,
+    eps: float = 1e-10,
+) -> Tuple[jax.Array, jax.Array]:
+    """One sparse RMSProp step using a precomputed plan (see above).
+
+    Semantics are identical to :func:`sparse_rmsprop` — aggregate
+    duplicate rows' gradients, advance each touched row's accumulator
+    once — but with no sort in the step itself.
+    """
+    squeeze = table.ndim == 1
+    if squeeze:
+        table = table[:, None]
+        acc = acc[:, None]
+        grads = grads[:, None]
+    m = uniq.shape[0]
+    agg = jax.ops.segment_sum(grads, seg, num_segments=m)
+    acc_rows = acc.at[uniq].get(mode="fill", fill_value=0.0)
+    tab_rows = table.at[uniq].get(mode="fill", fill_value=0.0)
+    acc_new = decay * acc_rows + (1.0 - decay) * agg * agg
+    upd = tab_rows - lr * agg / jnp.sqrt(acc_new + eps)
+    table = table.at[uniq].set(upd, mode="drop")
+    acc = acc.at[uniq].set(acc_new, mode="drop")
+    if squeeze:
+        table = table[:, 0]
+        acc = acc[:, 0]
+    return table, acc
+
+
 def sparse_rmsprop(
     table: jax.Array,   # [n_rows, k] (or [n_rows] for biases)
     acc: jax.Array,     # same shape — second-moment accumulator
