@@ -96,13 +96,13 @@ def _train_chunk(
             )
         return nll + reg
 
-    from ..ops.sparse_update import sparse_rmsprop
+    from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
 
     def rms_dense(p, m, g):
         m_new = 0.9 * m + 0.1 * g * g
         return p - lr * g / jnp.sqrt(m_new + 1e-10), m_new
 
-    # whole-chunk sampling (see models/bpr.py)
+    # whole-chunk sampling + chunk-planned sparse updates (see models/bpr.py)
     u_all, i_all, j_all = _sample_triplets(
         key,
         tr_users,
@@ -114,57 +114,80 @@ def _train_chunk(
         n_items,
         k_candidates,
     )
-    steps_uij = (
-        u_all.reshape(n_steps, batch_size),
-        i_all.reshape(n_steps, batch_size),
-        j_all.reshape(n_steps, batch_size),
+    u_steps = u_all.reshape(n_steps, batch_size)
+    i_steps = i_all.reshape(n_steps, batch_size)
+    j_steps = j_all.reshape(n_steps, batch_size)
+    uniq_u, seg_u = plan_sparse_updates(u_steps)
+    uniq_ij, seg_ij = plan_sparse_updates(
+        jnp.concatenate([i_steps, j_steps], axis=1)
     )
+    xs = (u_steps, i_steps, j_steps, uniq_u, seg_u, uniq_ij, seg_ij)
 
-    def step(carry, uij):
-        params, ms = carry
-        u, i, j = uij
+    # fused row layouts: user table [ure | uce] (both k/2), item table
+    # [ire | irb] — one gather + one planned update per side per step
+    kh = params["ure"].shape[1]
+    ut = jnp.concatenate([params["ure"], params["uce"]], axis=1)
+    ut_m = jnp.concatenate([ms["ure"], ms["uce"]], axis=1)
+    it = jnp.concatenate([params["ire"], params["irb"][:, None]], axis=1)
+    it_m = jnp.concatenate([ms["ire"], ms["irb"][:, None]], axis=1)
+
+    def step(carry, xs):
+        ut, it, cem, icb, ut_m, it_m, m_cem, m_icb = carry
+        u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
         ic = feat[i]
         jc = feat[j]
+        put = ut[u]
+        pit = it[i]
+        pjt = it[j]
         gathered = (
-            params["ure"][u],
-            params["uce"][u],
-            params["ire"][i],
-            params["ire"][j],
-            params["irb"][i],
-            params["irb"][j],
+            put[:, :kh],
+            put[:, kh:],
+            pit[:, :kh],
+            pjt[:, :kh],
+            pit[:, kh],
+            pjt[:, kh],
         )
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-            gathered, params["cem"], params["icb"], ic, jc
+            gathered, cem, icb, ic, jc
         )
         g_emb, g_cem, g_icb = grads
-        ure, m_ure = sparse_rmsprop(params["ure"], ms["ure"], u, g_emb[0], lr)
-        uce, m_uce = sparse_rmsprop(params["uce"], ms["uce"], u, g_emb[1], lr)
-        ij = jnp.concatenate([i, j])
-        gire = jnp.concatenate([g_emb[2], g_emb[3]], axis=0)
-        ire, m_ire = sparse_rmsprop(params["ire"], ms["ire"], ij, gire, lr)
-        girb = jnp.concatenate([g_emb[4], g_emb[5]], axis=0)
-        irb, m_irb = sparse_rmsprop(params["irb"], ms["irb"], ij, girb, lr)
-        cem, m_cem = rms_dense(params["cem"], ms["cem"], g_cem)
-        icb, m_icb = rms_dense(params["icb"], ms["icb"], g_icb)
-        new_params = {
-            "ure": ure,
-            "uce": uce,
-            "ire": ire,
-            "irb": irb,
-            "cem": cem,
-            "icb": icb,
-        }
-        new_ms = {
-            "ure": m_ure,
-            "uce": m_uce,
-            "ire": m_ire,
-            "irb": m_irb,
-            "cem": m_cem,
-            "icb": m_icb,
-        }
-        return (new_params, new_ms), loss
+        g_u = jnp.concatenate([g_emb[0], g_emb[1]], axis=1)
+        g_it = jnp.concatenate(
+            [
+                jnp.concatenate([g_emb[2], g_emb[4][:, None]], axis=1),
+                jnp.concatenate([g_emb[3], g_emb[5][:, None]], axis=1),
+            ],
+            axis=0,
+        )
+        ut, ut_m = planned_rmsprop(ut, ut_m, uq_u, sg_u, g_u, lr)
+        it, it_m = planned_rmsprop(it, it_m, uq_ij, sg_ij, g_it, lr)
+        cem, m_cem = rms_dense(cem, m_cem, g_cem)
+        icb, m_icb = rms_dense(icb, m_icb, g_icb)
+        return (ut, it, cem, icb, ut_m, it_m, m_cem, m_icb), loss
 
-    (params, ms), losses = jax.lax.scan(step, (params, ms), steps_uij)
+    carry = (
+        ut, it, params["cem"], params["icb"], ut_m, it_m,
+        ms["cem"], ms["icb"],
+    )
+    (ut, it, cem, icb, ut_m, it_m, m_cem, m_icb), losses = jax.lax.scan(
+        step, carry, xs
+    )
+    params = {
+        "ure": ut[:, :kh],
+        "uce": ut[:, kh:],
+        "ire": it[:, :kh],
+        "irb": it[:, kh],
+        "cem": cem,
+        "icb": icb,
+    }
+    ms = {
+        "ure": ut_m[:, :kh],
+        "uce": ut_m[:, kh:],
+        "ire": it_m[:, :kh],
+        "irb": it_m[:, kh],
+        "cem": m_cem,
+        "icb": m_icb,
+    }
     return params, ms, jnp.sum(losses)
 
 

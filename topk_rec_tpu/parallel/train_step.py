@@ -79,7 +79,7 @@ class DistributedBPRTrainer:
         n_steps = self.scan_steps
 
         from ..ops.sampling import _sample_triplets
-        from ..ops.sparse_update import sparse_rmsprop
+        from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
 
         param_shardings = {
             name: NamedSharding(mesh, spec)
@@ -88,8 +88,11 @@ class DistributedBPRTrainer:
         repl = NamedSharding(mesh, P())
 
         def chunk(params, ms, key, state):
-            def loss_fn(gathered):
-                pu, pi, pj, bi, bj = gathered
+            k = params["ue"].shape[1]
+
+            def loss_fn(pu, pit, pjt):
+                pi, bi = pit[:, :k], pit[:, k]
+                pj, bj = pjt[:, :k], pjt[:, k]
                 x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
                 nll = jnp.sum(jnp.logaddexp(0.0, -x))
                 if mode == "l2":
@@ -121,54 +124,55 @@ class DistributedBPRTrainer:
                 k_cand,
             )
             dp = NamedSharding(mesh, P(None, "dp"))
-            steps_uij = (
-                jax.lax.with_sharding_constraint(
-                    u_all.reshape(n_steps, batch_size), dp
-                ),
-                jax.lax.with_sharding_constraint(
-                    i_all.reshape(n_steps, batch_size), dp
-                ),
-                jax.lax.with_sharding_constraint(
-                    j_all.reshape(n_steps, batch_size), dp
-                ),
+            u_steps = jax.lax.with_sharding_constraint(
+                u_all.reshape(n_steps, batch_size), dp
             )
-
-            def step(carry, uij):
-                params, ms = carry
-                u, i, j = uij
-                gathered = (
-                    params["ue"][u],
-                    params["ie"][i],
-                    params["ie"][j],
-                    params["ib"][i],
-                    params["ib"][j],
-                )
-                loss, grads = jax.value_and_grad(loss_fn)(gathered)
-                ue, ms_u = sparse_rmsprop(
-                    params["ue"], ms["ue"], u, grads[0], hyper["lr"]
-                )
-                ij = jnp.concatenate([i, j])
-                gi = jnp.concatenate([grads[1], grads[2]], axis=0)
-                ie, ms_i = sparse_rmsprop(
-                    params["ie"], ms["ie"], ij, gi, hyper["lr"]
-                )
-                gb = jnp.concatenate([grads[3], grads[4]], axis=0)
-                ib, ms_b = sparse_rmsprop(
-                    params["ib"], ms["ib"], ij, gb, hyper["lr"]
-                )
-                new_p = {"ue": ue, "ie": ie, "ib": ib}
-                new_p = {
-                    name: jax.lax.with_sharding_constraint(
-                        v, param_shardings[name]
-                    )
-                    for name, v in new_p.items()
-                }
-                new_m = {"ue": ms_u, "ie": ms_i, "ib": ms_b}
-                return (new_p, new_m), loss
-
-            (params, ms), losses = jax.lax.scan(
-                step, (params, ms), steps_uij
+            i_steps = jax.lax.with_sharding_constraint(
+                i_all.reshape(n_steps, batch_size), dp
             )
+            j_steps = jax.lax.with_sharding_constraint(
+                j_all.reshape(n_steps, batch_size), dp
+            )
+            # chunk-planned duplicate aggregation (see models/bpr.py) —
+            # the plan tensors follow the batch's dp sharding
+            uniq_u, seg_u = plan_sparse_updates(u_steps)
+            uniq_ij, seg_ij = plan_sparse_updates(
+                jnp.concatenate([i_steps, j_steps], axis=1)
+            )
+            xs = (u_steps, i_steps, j_steps, uniq_u, seg_u, uniq_ij, seg_ij)
+
+            iet = jnp.concatenate(
+                [params["ie"], params["ib"][:, None]], axis=1
+            )
+            mst = jnp.concatenate([ms["ie"], ms["ib"][:, None]], axis=1)
+            iet_shard = NamedSharding(mesh, P("mp", None))
+            ue_shard = param_shardings["ue"]
+
+            def step(carry, xs):
+                ue, iet, ms_u, ms_it = carry
+                u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
+                pu = ue[u]
+                pit = iet[i]
+                pjt = iet[j]
+                loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                    pu, pit, pjt
+                )
+                g_ij = jnp.concatenate([grads[1], grads[2]], axis=0)
+                ue, ms_u = planned_rmsprop(
+                    ue, ms_u, uq_u, sg_u, grads[0], hyper["lr"]
+                )
+                iet, ms_it = planned_rmsprop(
+                    iet, ms_it, uq_ij, sg_ij, g_ij, hyper["lr"]
+                )
+                ue = jax.lax.with_sharding_constraint(ue, ue_shard)
+                iet = jax.lax.with_sharding_constraint(iet, iet_shard)
+                return (ue, iet, ms_u, ms_it), loss
+
+            (ue, iet, ms_u, ms_it), losses = jax.lax.scan(
+                step, (params["ue"], iet, ms["ue"], mst), xs
+            )
+            params = {"ue": ue, "ie": iet[:, :k], "ib": iet[:, k]}
+            ms = {"ue": ms_u, "ie": ms_it[:, :k], "ib": ms_it[:, k]}
             return params, ms, jnp.sum(losses)
 
         return jax.jit(
