@@ -58,7 +58,7 @@ def main() -> None:
             key, sub = jax.random.split(key)
             model._params, model._ms, loss = _train_chunk(
                 model._params, model._ms, sub,
-                s.tr_users, s.indptr, s.flat_pos, s.deg, s.pos_bitmap,
+                s.user_rows, s.flat_pos, s.pos_bitmap,
                 hyper, batch_size, n_items, model.k_candidates,
                 scan_steps, "l2",
             )

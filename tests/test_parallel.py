@@ -44,7 +44,7 @@ def test_distributed_bpr_matches_single_device(small_inter):
              "lb": model_b.lb, "lr": model_b.lr}
     params, ms, _ = _train_chunk(
         model_b._params, model_b._ms, key,
-        s.tr_users, s.indptr, s.flat_pos, s.deg, s.pos_bitmap,
+        s.user_rows, s.flat_pos, s.pos_bitmap,
         hyper, 64, small_inter.n_items, model_b.k_candidates, 4, "l2",
     )
     for name in ("ue", "ie", "ib"):

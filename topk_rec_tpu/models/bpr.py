@@ -47,10 +47,8 @@ def _train_chunk(
     params: dict,
     ms: dict,
     key: jax.Array,
-    tr_users: jax.Array,
-    indptr: jax.Array,
+    user_rows: jax.Array,
     flat_pos: jax.Array,
-    deg: jax.Array,
     pos_bitmap: jax.Array,
     hyper: dict,
     batch_size: int,
@@ -104,10 +102,8 @@ def _train_chunk(
 
     u_all, i_all, j_all = _sample_triplets(
         key,
-        tr_users,
-        indptr,
+        user_rows,
         flat_pos,
-        deg,
         pos_bitmap,
         n_steps * batch_size,
         n_items,
@@ -287,10 +283,8 @@ class BPR(Recommender):
                     self._params,
                     self._ms,
                     sub,
-                    s.tr_users,
-                    s.indptr,
+                    s.user_rows,
                     s.flat_pos,
-                    s.deg,
                     s.pos_bitmap,
                     hyper,
                     batch_size,

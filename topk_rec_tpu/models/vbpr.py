@@ -43,10 +43,8 @@ def _train_chunk(
     ms: dict,
     key: jax.Array,
     feat: jax.Array,  # [n_items, d]
-    tr_users: jax.Array,
-    indptr: jax.Array,
+    user_rows: jax.Array,
     flat_pos: jax.Array,
-    deg: jax.Array,
     pos_bitmap: jax.Array,
     hyper: dict,
     batch_size: int,
@@ -105,10 +103,8 @@ def _train_chunk(
     # whole-chunk sampling + chunk-planned sparse updates (see models/bpr.py)
     u_all, i_all, j_all = _sample_triplets(
         key,
-        tr_users,
-        indptr,
+        user_rows,
         flat_pos,
-        deg,
         pos_bitmap,
         n_steps * batch_size,
         n_items,
@@ -341,10 +337,8 @@ class VBPR(Recommender):
                     self._ms,
                     sub,
                     feat_dev,
-                    s.tr_users,
-                    s.indptr,
+                    s.user_rows,
                     s.flat_pos,
-                    s.deg,
                     s.pos_bitmap,
                     hyper,
                     batch_size,

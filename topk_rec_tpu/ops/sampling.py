@@ -34,20 +34,21 @@ from ..data.dataset import Interactions
 @partial(jax.jit, static_argnames=("batch_size", "n_items", "k_candidates"))
 def _sample_triplets(
     key: jax.Array,
-    tr_users: jax.Array,    # int32 [n_tr_users]
-    indptr: jax.Array,      # int32 [n_users + 1]
+    user_rows: jax.Array,   # int32 [n_tr_users, 3]: (user id, CSR start, degree)
     flat_pos: jax.Array,    # int32 [nnz]
-    deg: jax.Array,         # int32 [n_users]
     pos_bitmap: jax.Array,  # uint32 [n_users, n_words]
     batch_size: int,
     n_items: int,
     k_candidates: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     ku, ki, kj, kfix = jax.random.split(key, 4)
-    uidx = jax.random.randint(ku, (batch_size,), 0, tr_users.shape[0])
-    u = tr_users[uidx]
-    r = jax.random.randint(ki, (batch_size,), 0, deg[u])
-    i = flat_pos[indptr[u] + r]
+    uidx = jax.random.randint(ku, (batch_size,), 0, user_rows.shape[0])
+    # one [B,3] row gather for (user id, CSR start, degree) instead of
+    # three scalar gathers — TPU gather cost is per-index, not per-byte
+    rows = user_rows[uidx]
+    u = rows[:, 0]
+    r = jax.random.randint(ki, (batch_size,), 0, rows[:, 2])
+    i = flat_pos[rows[:, 1] + r]
     cand = jax.random.randint(kj, (batch_size, k_candidates), 0, n_items)
     words = pos_bitmap[u[:, None], cand >> 5]
     is_pos = (words >> cand.astype(jnp.uint32) % 32) & jnp.uint32(1)
@@ -78,12 +79,20 @@ def _sample_triplets(
 class TripletSampler:
     """Stateless device sampler bound to one fold's CSR/bitmap layout."""
 
-    def __init__(self, inter: Interactions, k_candidates: int = 8):
+    def __init__(self, inter: Interactions, k_candidates: int = 2):
         indptr, flat = inter.user_csr
-        self.tr_users = jnp.asarray(inter.rated_users)
-        self.indptr = jnp.asarray(indptr)
+        tr = np.asarray(inter.rated_users, dtype=np.int32)
+        self.user_rows = jnp.asarray(
+            np.stack(
+                [
+                    tr,
+                    np.asarray(indptr, np.int32)[tr],
+                    np.asarray(inter.user_deg, np.int32)[tr],
+                ],
+                axis=1,
+            )
+        )
         self.flat_pos = jnp.asarray(flat)
-        self.deg = jnp.asarray(inter.user_deg)
         self.pos_bitmap = jnp.asarray(inter.pos_bitmap)
         self.n_items = inter.n_items
         self.k_candidates = k_candidates
@@ -93,10 +102,8 @@ class TripletSampler:
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         return _sample_triplets(
             key,
-            self.tr_users,
-            self.indptr,
+            self.user_rows,
             self.flat_pos,
-            self.deg,
             self.pos_bitmap,
             batch_size,
             self.n_items,

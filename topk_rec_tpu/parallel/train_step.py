@@ -52,10 +52,8 @@ class DistributedBPRTrainer:
         # table; the flat positive list is replicated (indices into it are
         # data-dependent).
         self.sampler_state = {
-            "tr_users": replicate(mesh, s.tr_users),
-            "indptr": replicate(mesh, s.indptr),
+            "user_rows": replicate(mesh, s.user_rows),
             "flat_pos": replicate(mesh, s.flat_pos),
-            "deg": replicate(mesh, s.deg),
             "pos_bitmap": jax.device_put(
                 s.pos_bitmap, NamedSharding(mesh, P("mp", None))
             ),
@@ -114,10 +112,8 @@ class DistributedBPRTrainer:
             # whole-chunk sampling (matches the single-chip chunk exactly)
             u_all, i_all, j_all = _sample_triplets(
                 key,
-                state["tr_users"],
-                state["indptr"],
+                state["user_rows"],
                 state["flat_pos"],
-                state["deg"],
                 state["pos_bitmap"],
                 n_steps * batch_size,
                 n_items,
