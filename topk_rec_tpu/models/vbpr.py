@@ -206,9 +206,17 @@ class VBPR(Recommender):
         mode: str = "l2",
         seed: int = 0,
         k_candidates: int = 2,
+        full_k: bool = False,
     ):
         super().__init__(k)
         self.d = d
+        # full_k=True reproduces the legacy Theano VBPR's factor layout
+        # (reference old/methods/vbpr.py:37-43: k-wide rating factors W/H
+        # plus a separate k-wide user-content factor P and E[k x d]), vs
+        # the current generation's split k/2 + k/2 (reference
+        # single/vbpr.py:37-48). The objective is identical; only the
+        # factor widths differ, so one parameter covers both generations.
+        self.full_k = full_k
         self.lu = lambda_u
         self.li = lambda_i
         self.lj = lambda_j
@@ -239,11 +247,11 @@ class VBPR(Recommender):
         (ref vbpr.py:37-48), honoring warm-start splits
         (ref vbpr.py:99-108: fue halves -> ure/uce, fie[:, :k/2] -> ire,
         fib -> irb)."""
-        kh = self.k // 2
+        kh = self.k if self.full_k else self.k // 2
         ks = jax.random.split(key, 3)
         if self.fue is not None:
             ure = jnp.asarray(self.fue[:, :kh])
-            uce = jnp.asarray(self.fue[:, kh : self.k])
+            uce = jnp.asarray(self.fue[:, kh : 2 * kh])
         else:
             ure = 0.01 * jax.random.normal(ks[0], (self.n_users, kh))
             uce = 0.01 * jax.random.normal(ks[1], (self.n_users, kh))
