@@ -27,6 +27,15 @@ REFERENCE_CPU_SAMPLES_PER_SEC = 18778.0  # benchmarks/reference_baseline.py
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: repeat bench runs skip the multi-minute
+    # XLA compile of the training chunk (executables are serialized per
+    # program shape; safe to share across processes).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from topk_rec_tpu.data.dataset import Interactions
     from topk_rec_tpu.models import BPR
     from topk_rec_tpu.models.bpr import _train_chunk

@@ -80,7 +80,11 @@ def _train_chunk(
     k = params["ue"].shape[1]
 
     from ..ops.sampling import _sample_triplets
-    from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
+    from ..ops.sparse_update import (
+        apply_planned_rmsprop,
+        plan_sparse_updates,
+        planned_rows,
+    )
 
     def loss_fn(pu, pit, pjt):
         pi, bi = pit[:, :k], pit[:, k]
@@ -129,15 +133,28 @@ def _train_chunk(
     def step(carry, xs):
         ue, iet, ms_u, ms_it = carry
         u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
-        pu = ue[u]
-        pit = iet[i]
-        pjt = iet[j]
+        # one HBM gather per table (unique rows + accumulator rows); the
+        # per-occurrence forward rows come from expanding those gathered
+        # rows through the segment map — a local batch-sized gather, not a
+        # second read of the HBM table.
+        rows_u, acc_u = planned_rows(ue, ms_u, uq_u)
+        rows_ij, acc_ij = planned_rows(iet, ms_it, uq_ij)
+        b = u.shape[0]
+        pu = rows_u[sg_u]
+        pit = rows_ij[sg_ij[:b]]
+        pjt = rows_ij[sg_ij[b:]]
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
             pu, pit, pjt
         )
         g_ij = jnp.concatenate([grads[1], grads[2]], axis=0)
-        ue, ms_u = planned_rmsprop(ue, ms_u, uq_u, sg_u, grads[0], lr)
-        iet, ms_it = planned_rmsprop(iet, ms_it, uq_ij, sg_ij, g_ij, lr)
+        agg_u = jax.ops.segment_sum(grads[0], sg_u, num_segments=uq_u.shape[0])
+        agg_ij = jax.ops.segment_sum(g_ij, sg_ij, num_segments=uq_ij.shape[0])
+        ue, ms_u = apply_planned_rmsprop(
+            ue, ms_u, uq_u, rows_u, acc_u, agg_u, lr
+        )
+        iet, ms_it = apply_planned_rmsprop(
+            iet, ms_it, uq_ij, rows_ij, acc_ij, agg_ij, lr
+        )
         return (ue, iet, ms_u, ms_it), loss
 
     (ue, iet, ms_u, ms_it), losses = jax.lax.scan(

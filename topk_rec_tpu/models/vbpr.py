@@ -94,7 +94,11 @@ def _train_chunk(
             )
         return nll + reg
 
-    from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
+    from ..ops.sparse_update import (
+        apply_planned_rmsprop,
+        plan_sparse_updates,
+        planned_rows,
+    )
 
     def rms_dense(p, m, g):
         m_new = 0.9 * m + 0.1 * g * g
@@ -132,9 +136,14 @@ def _train_chunk(
         u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
         ic = feat[i]
         jc = feat[j]
-        put = ut[u]
-        pit = it[i]
-        pjt = it[j]
+        # single HBM gather per table at unique rows; forward rows are the
+        # local expansion through the segment map (see models/bpr.py)
+        rows_u, acc_u = planned_rows(ut, ut_m, uq_u)
+        rows_ij, acc_ij = planned_rows(it, it_m, uq_ij)
+        b = u.shape[0]
+        put = rows_u[sg_u]
+        pit = rows_ij[sg_ij[:b]]
+        pjt = rows_ij[sg_ij[b:]]
         gathered = (
             put[:, :kh],
             put[:, kh:],
@@ -155,8 +164,14 @@ def _train_chunk(
             ],
             axis=0,
         )
-        ut, ut_m = planned_rmsprop(ut, ut_m, uq_u, sg_u, g_u, lr)
-        it, it_m = planned_rmsprop(it, it_m, uq_ij, sg_ij, g_it, lr)
+        agg_u = jax.ops.segment_sum(g_u, sg_u, num_segments=uq_u.shape[0])
+        agg_ij = jax.ops.segment_sum(g_it, sg_ij, num_segments=uq_ij.shape[0])
+        ut, ut_m = apply_planned_rmsprop(
+            ut, ut_m, uq_u, rows_u, acc_u, agg_u, lr
+        )
+        it, it_m = apply_planned_rmsprop(
+            it, it_m, uq_ij, rows_ij, acc_ij, agg_ij, lr
+        )
         cem, m_cem = rms_dense(cem, m_cem, g_cem)
         icb, m_icb = rms_dense(icb, m_icb, g_icb)
         return (ut, it, cem, icb, ut_m, it_m, m_cem, m_icb), loss

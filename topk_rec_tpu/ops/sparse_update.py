@@ -67,6 +67,49 @@ def plan_sparse_updates(idx_all: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jax.vmap(per_step)(idx_all)
 
 
+def planned_rows(
+    table: jax.Array,   # [n_rows, k]
+    acc: jax.Array,     # same shape — second-moment accumulator
+    uniq: jax.Array,    # int32 [M] distinct rows, OOB-padded (one plan step)
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather the planned unique rows of (table, accumulator) — once.
+
+    The forward pass needs per-occurrence parameter rows and the update
+    needs per-unique-row parameter/accumulator rows. Gathering occurrences
+    and uniques separately reads the HBM table twice per step; instead,
+    gather only the unique rows here and expand to occurrences locally
+    (``rows[seg]`` — a gather from a batch-sized VMEM-resident array, not
+    from the HBM table).
+    """
+    return (
+        table.at[uniq].get(mode="fill", fill_value=0.0),
+        acc.at[uniq].get(mode="fill", fill_value=0.0),
+    )
+
+
+def apply_planned_rmsprop(
+    table: jax.Array,     # [n_rows, k]
+    acc: jax.Array,       # same shape
+    uniq: jax.Array,      # int32 [M] distinct rows, OOB-padded
+    tab_rows: jax.Array,  # [M, k] rows gathered by planned_rows
+    acc_rows: jax.Array,  # [M, k]
+    agg: jax.Array,       # [M, k] aggregated (segment-summed) gradients
+    lr: float,
+    decay: float = 0.9,
+    eps: float = 1e-10,
+) -> Tuple[jax.Array, jax.Array]:
+    """RMSProp update of the planned rows from pre-gathered values.
+
+    Together with :func:`planned_rows` this is :func:`planned_rmsprop`
+    split so the unique-row gather is shared with the forward pass.
+    """
+    acc_new = decay * acc_rows + (1.0 - decay) * agg * agg
+    upd = tab_rows - lr * agg / jnp.sqrt(acc_new + eps)
+    table = table.at[uniq].set(upd, mode="drop")
+    acc = acc.at[uniq].set(acc_new, mode="drop")
+    return table, acc
+
+
 def planned_rmsprop(
     table: jax.Array,   # [n_rows, k] (or [n_rows] for biases)
     acc: jax.Array,     # same shape — second-moment accumulator
