@@ -31,7 +31,13 @@ def main() -> None:
     # XLA compile of the training chunk (executables are serialized per
     # program shape; safe to share across processes).
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        import os
+
+        cache = os.environ.get(
+            "TKR_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -21,8 +21,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeat test runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+# persistent compilation cache: repeat test runs skip recompiles.
+# Per-repo path (not a shared /tmp path) so concurrent users/CI runs on one
+# machine never collide and `rm -rf .cache` bounds growth (ADVICE r1).
+_CACHE = os.environ.get(
+    "TKR_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", "jax_cpu"),
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
