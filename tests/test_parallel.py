@@ -134,3 +134,87 @@ def test_distributed_als_with_prior(small_inter):
         prior=prior,
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_distributed_vbpr_matches_single_device(small_inter):
+    """Same seed/key -> sharded VBPR step == single-device step numerically."""
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.models import VBPR
+    from topk_rec_tpu.models.vbpr import _train_chunk
+    from topk_rec_tpu.parallel import DistributedVBPRTrainer
+
+    rng = np.random.default_rng(11)
+    d = 12
+    feat = rng.normal(size=(small_inter.n_items, d)).astype(np.float32)
+
+    model_a = VBPR(k=8, d=d, lr=0.05, seed=1)
+    model_a.set_interactions(small_inter)
+    model_a.set_features(feat)
+    model_a._init_params(jax.random.PRNGKey(42))
+    params0 = {k: np.asarray(v) for k, v in model_a._params.items()}
+
+    mesh = make_mesh(dp=2, mp=4)
+    trainer = DistributedVBPRTrainer(model_a, mesh, batch_size=64, scan_steps=4)
+    key = jax.random.PRNGKey(7)
+    trainer.train_chunk(key)
+    trainer.sync_to_model()
+    dist_params = {k: np.asarray(v) for k, v in model_a._params.items()}
+
+    model_b = VBPR(k=8, d=d, lr=0.05, seed=1)
+    model_b.set_interactions(small_inter)
+    model_b.set_features(feat)
+    model_b._params = {k: jnp.asarray(v) for k, v in params0.items()}
+    model_b._ms = jax.tree.map(jnp.zeros_like, model_b._params)
+    s = model_b.sampler
+    hyper = {"lu": model_b.lu, "li": model_b.li, "lj": model_b.lj,
+             "lb": model_b.lb, "le": model_b.le, "lr": model_b.lr}
+    params, _, _ = _train_chunk(
+        model_b._params, model_b._ms, key, jnp.asarray(feat),
+        s.user_rows, s.flat_pos, s.pos_bitmap,
+        hyper, 64, small_inter.n_items, model_b.k_candidates, 4, "l2",
+    )
+    for name in ("ure", "uce", "ire", "irb", "cem", "icb"):
+        np.testing.assert_allclose(
+            dist_params[name], np.asarray(params[name]),
+            rtol=2e-4, atol=1e-5, err_msg=name,
+        )
+
+
+def test_wmf_mesh_matches_local(small_inter):
+    """WMF(mesh=...) routes ALS through the mesh and matches local training."""
+    from topk_rec_tpu.models import WMF
+
+    m_local = WMF(k=6, seed=3)
+    m_local.set_interactions(small_inter)
+    m_local.train(max_iter=3, verbose=False)
+
+    m_dist = WMF(k=6, seed=3, mesh=make_mesh(dp=2, mp=4))
+    m_dist.set_interactions(small_inter)
+    m_dist.train(max_iter=3, verbose=False)
+
+    np.testing.assert_allclose(m_dist.fue, m_local.fue, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(m_dist.fie, m_local.fie, rtol=2e-3, atol=2e-4)
+
+
+def test_cer_mesh_matches_local(small_inter):
+    """CER(mesh=...) — prior-coupled sweeps through the mesh match local."""
+    from topk_rec_tpu.models import CER
+
+    rng = np.random.default_rng(9)
+    d = 10
+    feat = rng.normal(size=(small_inter.n_items, d)).astype(np.float32)
+
+    m_local = CER(k=6, d=d, seed=3)
+    m_local.set_interactions(small_inter)
+    m_local.set_features(feat)
+    m_local.train(max_iter=2, verbose=False)
+
+    m_dist = CER(k=6, d=d, seed=3, mesh=make_mesh(dp=4, mp=2))
+    m_dist.set_interactions(small_inter)
+    m_dist.set_features(feat)
+    m_dist.train(max_iter=2, verbose=False)
+
+    np.testing.assert_allclose(m_dist.fue, m_local.fue, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(m_dist.fie, m_local.fie, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(m_dist.E, m_local.E, rtol=5e-3, atol=5e-4)

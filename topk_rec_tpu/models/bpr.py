@@ -32,18 +32,7 @@ from ..utils import tprint
 from .base import Recommender
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "batch_size",
-        "n_items",
-        "k_candidates",
-        "n_steps",
-        "mode",
-    ),
-    donate_argnums=(0, 1),
-)
-def _train_chunk(
+def _chunk_impl(
     params: dict,
     ms: dict,
     key: jax.Array,
@@ -56,8 +45,10 @@ def _train_chunk(
     k_candidates: int,
     n_steps: int,
     mode: str,
+    constrain_batch=None,
+    constrain_table=None,
 ):
-    """Run ``n_steps`` sampled BPR/RMSProp steps in one compiled program.
+    """Run ``n_steps`` sampled BPR/RMSProp steps in one traced program.
 
     Layout/scheduling choices (measured on v5e, see BASELINE.md):
 
@@ -69,7 +60,17 @@ def _train_chunk(
       carries no sorts (ops/sparse_update.plan_sparse_updates);
     * the item bias lives as an extra column of the item table inside the
       chunk, so each step updates two tables, not three.
+
+    ``constrain_batch`` / ``constrain_table`` are optional sharding hooks:
+    a mesh caller (parallel/train_step.py) pins the per-step batch arrays
+    to the data axis and the embedding tables to the model axis, and the
+    SAME body compiles into the sharded step — the distributed path is the
+    optimized path by construction, not a parallel re-implementation.
     """
+    if constrain_batch is None:
+        constrain_batch = lambda x: x
+    if constrain_table is None:
+        constrain_table = lambda x: x
     lu, li, lj, lb, lr = (
         hyper["lu"],
         hyper["li"],
@@ -113,9 +114,9 @@ def _train_chunk(
         n_items,
         k_candidates,
     )
-    u_steps = u_all.reshape(n_steps, batch_size)
-    i_steps = i_all.reshape(n_steps, batch_size)
-    j_steps = j_all.reshape(n_steps, batch_size)
+    u_steps = constrain_batch(u_all.reshape(n_steps, batch_size))
+    i_steps = constrain_batch(i_all.reshape(n_steps, batch_size))
+    j_steps = constrain_batch(j_all.reshape(n_steps, batch_size))
     uniq_u, seg_u = plan_sparse_updates(u_steps)
     uniq_ij, seg_ij = plan_sparse_updates(
         jnp.concatenate([i_steps, j_steps], axis=1)
@@ -155,7 +156,7 @@ def _train_chunk(
         iet, ms_it = apply_planned_rmsprop(
             iet, ms_it, uq_ij, rows_ij, acc_ij, agg_ij, lr
         )
-        return (ue, iet, ms_u, ms_it), loss
+        return (constrain_table(ue), constrain_table(iet), ms_u, ms_it), loss
 
     (ue, iet, ms_u, ms_it), losses = jax.lax.scan(
         step, (params["ue"], iet, ms["ue"], mst), xs
@@ -163,6 +164,38 @@ def _train_chunk(
     params = {"ue": ue, "ie": iet[:, :k], "ib": iet[:, k]}
     ms = {"ue": ms_u, "ie": ms_it[:, :k], "ib": ms_it[:, k]}
     return params, ms, jnp.sum(losses)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "batch_size",
+        "n_items",
+        "k_candidates",
+        "n_steps",
+        "mode",
+    ),
+    donate_argnums=(0, 1),
+)
+def _train_chunk(
+    params: dict,
+    ms: dict,
+    key: jax.Array,
+    user_rows: jax.Array,
+    flat_pos: jax.Array,
+    pos_bitmap: jax.Array,
+    hyper: dict,
+    batch_size: int,
+    n_items: int,
+    k_candidates: int,
+    n_steps: int,
+    mode: str,
+):
+    """Single-device compiled chunk (see ``_chunk_impl``)."""
+    return _chunk_impl(
+        params, ms, key, user_rows, flat_pos, pos_bitmap, hyper,
+        batch_size, n_items, k_candidates, n_steps, mode,
+    )
 
 
 class BPR(Recommender):

@@ -28,7 +28,6 @@ import numpy as np
 from functools import partial
 
 from ..data.io import read_dat, write_dat
-from ..ops.als import half_sweep
 from ..utils import tprint
 from .wmf import WMF
 
@@ -93,8 +92,9 @@ class CER(WMF):
         b: float = 0.01,
         seed: int = 0,
         block_size: int = 2048,
+        mesh=None,
     ):
-        super().__init__(k, lu, lv, a, b, seed, block_size)
+        super().__init__(k, lu, lv, a, b, seed, block_size, mesh=mesh)
         self.d = d
         self.le = le
         self.E: Optional[np.ndarray] = None
@@ -164,7 +164,7 @@ class CER(WMF):
             # F·E on device (20 GFLOP on host NumPy at the reference scale)
             Fe = jnp.dot(F, E_dev, preferred_element_type=jnp.float32)
             # user sweep (lam=lu), then item sweep with content prior
-            self.fue, _ = half_sweep(
+            self.fue, _ = self._half_sweep(
                 self._user_plan,
                 self.fue,
                 self.fie,
@@ -173,7 +173,7 @@ class CER(WMF):
                 self.b,
                 self.lu,
             )
-            self.fie, fit = half_sweep(
+            self.fie, fit = self._half_sweep(
                 self._item_plan,
                 self.fie,
                 self.fue,

@@ -24,7 +24,6 @@ from typing import Optional, Type, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.als import half_sweep
 from ..utils import tprint
 from .encoders import Encoder
 from .wmf import WMF
@@ -42,8 +41,9 @@ class DPM(WMF):
         b: float = 0.01,
         seed: int = 0,
         block_size: int = 2048,
+        mesh=None,
     ):
-        super().__init__(k, lu, lv, a, b, seed, block_size)
+        super().__init__(k, lu, lv, a, b, seed, block_size, mesh=mesh)
         self.d = d
         self.le = le
         self.encoder: Optional[Encoder] = None
@@ -81,7 +81,7 @@ class DPM(WMF):
             # (ref dpm.py:33)
             Fe = self.encoder.predict(self.feat)
             self.fie = np.array(Fe, dtype=np.float32, copy=True)
-            self.fue, _ = half_sweep(
+            self.fue, _ = self._half_sweep(
                 self._user_plan,
                 self.fue,
                 self.fie,
@@ -90,7 +90,7 @@ class DPM(WMF):
                 self.b,
                 self.lu,
             )
-            self.fie, fit = half_sweep(
+            self.fie, fit = self._half_sweep(
                 self._item_plan,
                 self.fie,
                 self.fue,

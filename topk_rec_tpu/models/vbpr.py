@@ -33,12 +33,7 @@ from ..utils import tprint
 from .base import Recommender
 
 
-@partial(
-    jax.jit,
-    static_argnames=("batch_size", "n_items", "k_candidates", "n_steps", "mode"),
-    donate_argnums=(0, 1),
-)
-def _train_chunk(
+def _chunk_impl(
     params: dict,
     ms: dict,
     key: jax.Array,
@@ -52,7 +47,15 @@ def _train_chunk(
     k_candidates: int,
     n_steps: int,
     mode: str,
+    constrain_batch=None,
+    constrain_table=None,
 ):
+    """VBPR chunk body; sharding hooks as in models/bpr.py ``_chunk_impl``
+    (the distributed trainer compiles this same body over a mesh)."""
+    if constrain_batch is None:
+        constrain_batch = lambda x: x
+    if constrain_table is None:
+        constrain_table = lambda x: x
     lu, li, lj, lb, le, lr = (
         hyper["lu"],
         hyper["li"],
@@ -114,9 +117,9 @@ def _train_chunk(
         n_items,
         k_candidates,
     )
-    u_steps = u_all.reshape(n_steps, batch_size)
-    i_steps = i_all.reshape(n_steps, batch_size)
-    j_steps = j_all.reshape(n_steps, batch_size)
+    u_steps = constrain_batch(u_all.reshape(n_steps, batch_size))
+    i_steps = constrain_batch(i_all.reshape(n_steps, batch_size))
+    j_steps = constrain_batch(j_all.reshape(n_steps, batch_size))
     uniq_u, seg_u = plan_sparse_updates(u_steps)
     uniq_ij, seg_ij = plan_sparse_updates(
         jnp.concatenate([i_steps, j_steps], axis=1)
@@ -174,7 +177,10 @@ def _train_chunk(
         )
         cem, m_cem = rms_dense(cem, m_cem, g_cem)
         icb, m_icb = rms_dense(icb, m_icb, g_icb)
-        return (ut, it, cem, icb, ut_m, it_m, m_cem, m_icb), loss
+        return (
+            constrain_table(ut), constrain_table(it), cem, icb,
+            ut_m, it_m, m_cem, m_icb,
+        ), loss
 
     carry = (
         ut, it, params["cem"], params["icb"], ut_m, it_m,
@@ -200,6 +206,33 @@ def _train_chunk(
         "icb": m_icb,
     }
     return params, ms, jnp.sum(losses)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "n_items", "k_candidates", "n_steps", "mode"),
+    donate_argnums=(0, 1),
+)
+def _train_chunk(
+    params: dict,
+    ms: dict,
+    key: jax.Array,
+    feat: jax.Array,
+    user_rows: jax.Array,
+    flat_pos: jax.Array,
+    pos_bitmap: jax.Array,
+    hyper: dict,
+    batch_size: int,
+    n_items: int,
+    k_candidates: int,
+    n_steps: int,
+    mode: str,
+):
+    """Single-device compiled chunk (see ``_chunk_impl``)."""
+    return _chunk_impl(
+        params, ms, key, feat, user_rows, flat_pos, pos_bitmap, hyper,
+        batch_size, n_items, k_candidates, n_steps, mode,
+    )
 
 
 class VBPR(Recommender):

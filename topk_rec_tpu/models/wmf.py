@@ -37,6 +37,7 @@ class WMF(Recommender):
         b: float = 0.01,
         seed: int = 0,
         block_size: int = 2048,
+        mesh=None,
     ):
         super().__init__(k)
         self.lu = lu
@@ -47,6 +48,17 @@ class WMF(Recommender):
         self.block_size = block_size
         self._user_plan: Optional[ALSPlan] = None
         self._item_plan: Optional[ALSPlan] = None
+        self._half_sweep = half_sweep
+        if mesh is not None:
+            self.set_mesh(mesh)
+
+    def set_mesh(self, mesh) -> None:
+        """Route every ALS half-sweep through the mesh-sharded fused sweep
+        (parallel/als.py) — entity rows split across all mesh devices. The
+        whole model family (WMF/CER/DPM) inherits this dispatch."""
+        from ..parallel.als import DistributedALS
+
+        self._half_sweep = DistributedALS(mesh).half_sweep
 
     def _on_data_loaded(self) -> None:
         inter = self.inter
@@ -66,7 +78,7 @@ class WMF(Recommender):
     def _sweeps(self, prior: Optional[np.ndarray]) -> float:
         """One full ALS iteration (users then items); returns item fit loss."""
         inter = self.inter
-        self.fue, _ = half_sweep(
+        self.fue, _ = self._half_sweep(
             self._user_plan,
             self.fue,
             self.fie,
@@ -75,7 +87,7 @@ class WMF(Recommender):
             self.b,
             self.lu,
         )
-        self.fie, fit = half_sweep(
+        self.fie, fit = self._half_sweep(
             self._item_plan,
             self.fie,
             self.fue,

@@ -169,16 +169,7 @@ class ALSPlan:
         self.deg_stack = jnp.asarray(np.stack(deg_l))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "block_size",
-        "n_this",
-        "use_prior",
-        "keep_old_unrated",
-    ),
-)
-def _als_sweep(
+def _sweep_impl(
     rows_stack: jax.Array,    # int32 [n_blocks, cap]
     cols_stack: jax.Array,    # int32 [n_blocks, cap]
     deg_stack: jax.Array,     # int32 [n_blocks, block]
@@ -186,15 +177,27 @@ def _als_sweep(
     other_emb: jax.Array,     # [n_other, k]
     rated_mask: jax.Array,    # float32 [n_other] — 1 for rated rows
     prior: jax.Array,         # [n_this, k] (zeros when unused)
-    a: float,
-    b: float,
-    lam: float,
+    a,
+    b,
+    lam,
+    *,
     block_size: int,
     n_this: int,
     use_prior: bool,
     keep_old_unrated: bool,
+    constrain=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Whole half-sweep as one compiled scan over blocks (no host syncs)."""
+    """Whole half-sweep as one traced scan over blocks (no host syncs).
+
+    ``constrain`` is an optional fn applied to the per-block row-major
+    intermediates (the selection matrix S and the solved block) so a mesh
+    caller can pin them to an entity-row sharding; GSPMD then partitions
+    the S·VV / S·V matmuls and the batched solves row-wise with no
+    collectives on the hot path (the distributed analog of the reference's
+    sequential GSL entity loop, old/cr/cr.cpp:146-216).
+    """
+    if constrain is None:
+        constrain = lambda x: x
     n_blocks = rows_stack.shape[0]
     n_other, k = other_emb.shape
     # row-wise outer products via broadcast multiply (einsum 'nk,nl->nkl'
@@ -215,7 +218,7 @@ def _als_sweep(
 
     def block(_, xs):
         rows, cols, deg_block, old_block, prior_block = xs
-        S = (
+        S = constrain(
             jnp.zeros((block_size + 1, n_other), dtype=jnp.float32)
             .at[rows, cols]
             .add(1.0)[:block_size]
@@ -230,6 +233,7 @@ def _als_sweep(
         new = batched_solve(A, rhs)
         if keep_old_unrated:
             new = jnp.where((deg_block > 0)[:, None], new, old_block)
+        new = constrain(new)
         quad = 0.5 * jnp.einsum("bi,bij,bj->b", new, A_fit, new)
         lin = a * jnp.sum(sum_v * new, axis=1)
         fit = jnp.where(deg_block > 0, 0.5 * deg_block * a + quad - lin, 0.0)
@@ -242,6 +246,50 @@ def _als_sweep(
     )
     new = new_stack.reshape(n_blocks * block_size, k)[:n_this]
     return new, jnp.sum(fits)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block_size",
+        "n_this",
+        "use_prior",
+        "keep_old_unrated",
+    ),
+)
+def _als_sweep(
+    rows_stack: jax.Array,
+    cols_stack: jax.Array,
+    deg_stack: jax.Array,
+    this_emb: jax.Array,
+    other_emb: jax.Array,
+    rated_mask: jax.Array,
+    prior: jax.Array,
+    a: float,
+    b: float,
+    lam: float,
+    block_size: int,
+    n_this: int,
+    use_prior: bool,
+    keep_old_unrated: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-device compiled whole half-sweep (see ``_sweep_impl``)."""
+    return _sweep_impl(
+        rows_stack,
+        cols_stack,
+        deg_stack,
+        this_emb,
+        other_emb,
+        rated_mask,
+        prior,
+        a,
+        b,
+        lam,
+        block_size=block_size,
+        n_this=n_this,
+        use_prior=use_prior,
+        keep_old_unrated=keep_old_unrated,
+    )
 
 
 def half_sweep(

@@ -1,12 +1,19 @@
 """Distributed training/scoring steps over a (dp, mp) mesh.
 
-TPU-native scaling for the BPR family (greenfield vs the single-device
-reference — SURVEY.md §2.4): embedding tables row-sharded over the "mp"
-axis (NamedSharding P('mp', None)), triplet batches sharded over "dp",
-jit-compiled with explicit in/out shardings so XLA GSPMD inserts the
-collectives (gathers across table shards, psum of replicated-parameter
-gradients) over ICI. This is the scaling-book recipe: pick a mesh,
-annotate shardings, let XLA place collectives.
+TPU-native scaling for the pairwise-SGD family (greenfield vs the
+single-device reference — SURVEY.md §2.4): embedding tables row-sharded
+over the "mp" axis (NamedSharding P('mp', None)), triplet batches sharded
+over "dp", jit-compiled with explicit in/out shardings so XLA GSPMD
+inserts the collectives (gathers across table shards, psum of
+replicated-parameter gradients) over ICI. This is the scaling-book
+recipe: pick a mesh, annotate shardings, let XLA place collectives.
+
+The distributed trainers compile THE SAME chunk bodies as the single-chip
+models (models/bpr.py / models/vbpr.py ``_chunk_impl``) with sharding
+hooks — whole-chunk device sampling, vmapped duplicate planning, single
+unique-row HBM gathers, planned RMSProp — so every single-chip
+optimization is inherited by construction and dist == local numerics hold
+(tests/test_parallel.py).
 
 The scoring grid (full-catalog U·Vᵀ for serving/eval) shards users over
 "dp" and items over "mp": each device computes a [users/dp, items/mp]
@@ -25,15 +32,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.dataset import Interactions
 from ..models.bpr import BPR
-from .mesh import BPR_PARAM_SPECS, replicate, shard_params
+from ..models.vbpr import VBPR
+from .mesh import BPR_PARAM_SPECS, VBPR_PARAM_SPECS, replicate, shard_params
 
 
-class DistributedBPRTrainer:
-    """Runs BPR SGD with tables row-sharded over "mp", batch over "dp"."""
+class _DistributedPairwiseTrainer:
+    """Shared machinery: shard params/sampler state, run chunks, sync back."""
+
+    PARAM_SPECS: dict = {}
 
     def __init__(
         self,
-        model: BPR,
+        model,
         mesh: Mesh,
         batch_size: int = 4096,
         scan_steps: int = 8,
@@ -45,8 +55,8 @@ class DistributedBPRTrainer:
         self.scan_steps = scan_steps
         if model._params is None:
             model._init_params(jax.random.PRNGKey(model.seed))
-        self.params = shard_params(mesh, model._params, BPR_PARAM_SPECS)
-        self.ms = shard_params(mesh, model._ms, BPR_PARAM_SPECS)
+        self.params = shard_params(mesh, model._params, self.PARAM_SPECS)
+        self.ms = shard_params(mesh, model._ms, self.PARAM_SPECS)
         s = model.sampler
         # Sampler state: per-user CSR/bitmap rows sharded like the user
         # table; the flat positive list is replicated (indices into it are
@@ -60,122 +70,23 @@ class DistributedBPRTrainer:
         }
         self._step = self._build_step()
 
-    def _build_step(self):
-        mesh = self.mesh
-        model = self.model
-        hyper = {
-            "lu": model.lu,
-            "li": model.li,
-            "lj": model.lj,
-            "lb": model.lb,
-            "lr": model.lr,
-        }
-        batch_size = self.batch_size
-        n_items = model.n_items
-        k_cand = model.k_candidates
-        mode = model.mode
-        n_steps = self.scan_steps
-
-        from ..ops.sampling import _sample_triplets
-        from ..ops.sparse_update import plan_sparse_updates, planned_rmsprop
-
-        param_shardings = {
-            name: NamedSharding(mesh, spec)
-            for name, spec in BPR_PARAM_SPECS.items()
-        }
-        repl = NamedSharding(mesh, P())
-
-        def chunk(params, ms, key, state):
-            k = params["ue"].shape[1]
-
-            def loss_fn(pu, pit, pjt):
-                pi, bi = pit[:, :k], pit[:, k]
-                pj, bj = pjt[:, :k], pjt[:, k]
-                x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
-                nll = jnp.sum(jnp.logaddexp(0.0, -x))
-                if mode == "l2":
-                    reg = 0.5 * (
-                        jnp.sum(pu**2) * hyper["lu"]
-                        + jnp.sum(pi**2) * hyper["li"]
-                        + jnp.sum(pj**2) * hyper["lj"]
-                    ) + 0.5 * hyper["lb"] * (jnp.sum(bi**2) + jnp.sum(bj**2))
-                else:
-                    reg = (
-                        jnp.sum(jnp.abs(pu)) * hyper["lu"]
-                        + jnp.sum(jnp.abs(pi)) * hyper["li"]
-                        + jnp.sum(jnp.abs(pj)) * hyper["lj"]
-                        + hyper["lb"]
-                        * (jnp.sum(jnp.abs(bi)) + jnp.sum(jnp.abs(bj)))
-                    )
-                return nll + reg
-
-            # whole-chunk sampling (matches the single-chip chunk exactly)
-            u_all, i_all, j_all = _sample_triplets(
-                key,
-                state["user_rows"],
-                state["flat_pos"],
-                state["pos_bitmap"],
-                n_steps * batch_size,
-                n_items,
-                k_cand,
-            )
-            dp = NamedSharding(mesh, P(None, "dp"))
-            u_steps = jax.lax.with_sharding_constraint(
-                u_all.reshape(n_steps, batch_size), dp
-            )
-            i_steps = jax.lax.with_sharding_constraint(
-                i_all.reshape(n_steps, batch_size), dp
-            )
-            j_steps = jax.lax.with_sharding_constraint(
-                j_all.reshape(n_steps, batch_size), dp
-            )
-            # chunk-planned duplicate aggregation (see models/bpr.py) —
-            # the plan tensors follow the batch's dp sharding
-            uniq_u, seg_u = plan_sparse_updates(u_steps)
-            uniq_ij, seg_ij = plan_sparse_updates(
-                jnp.concatenate([i_steps, j_steps], axis=1)
-            )
-            xs = (u_steps, i_steps, j_steps, uniq_u, seg_u, uniq_ij, seg_ij)
-
-            iet = jnp.concatenate(
-                [params["ie"], params["ib"][:, None]], axis=1
-            )
-            mst = jnp.concatenate([ms["ie"], ms["ib"][:, None]], axis=1)
-            iet_shard = NamedSharding(mesh, P("mp", None))
-            ue_shard = param_shardings["ue"]
-
-            def step(carry, xs):
-                ue, iet, ms_u, ms_it = carry
-                u, i, j, uq_u, sg_u, uq_ij, sg_ij = xs
-                pu = ue[u]
-                pit = iet[i]
-                pjt = iet[j]
-                loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-                    pu, pit, pjt
-                )
-                g_ij = jnp.concatenate([grads[1], grads[2]], axis=0)
-                ue, ms_u = planned_rmsprop(
-                    ue, ms_u, uq_u, sg_u, grads[0], hyper["lr"]
-                )
-                iet, ms_it = planned_rmsprop(
-                    iet, ms_it, uq_ij, sg_ij, g_ij, hyper["lr"]
-                )
-                ue = jax.lax.with_sharding_constraint(ue, ue_shard)
-                iet = jax.lax.with_sharding_constraint(iet, iet_shard)
-                return (ue, iet, ms_u, ms_it), loss
-
-            (ue, iet, ms_u, ms_it), losses = jax.lax.scan(
-                step, (params["ue"], iet, ms["ue"], mst), xs
-            )
-            params = {"ue": ue, "ie": iet[:, :k], "ib": iet[:, k]}
-            ms = {"ue": ms_u, "ie": ms_it[:, :k], "ib": ms_it[:, k]}
-            return params, ms, jnp.sum(losses)
-
-        return jax.jit(
-            chunk,
-            out_shardings=(param_shardings, param_shardings, repl),
-            donate_argnums=(0, 1),
+    def _shard_hooks(self):
+        """(constrain_batch, constrain_table) hooks for the chunk body."""
+        dp = NamedSharding(self.mesh, P(None, "dp"))
+        mp = NamedSharding(self.mesh, P("mp", None))
+        return (
+            lambda x: jax.lax.with_sharding_constraint(x, dp),
+            lambda x: jax.lax.with_sharding_constraint(x, mp),
         )
+
+    def _param_shardings(self):
+        return {
+            name: NamedSharding(self.mesh, spec)
+            for name, spec in self.PARAM_SPECS.items()
+        }
+
+    def _build_step(self):
+        raise NotImplementedError
 
     def train_chunk(self, key: jax.Array) -> float:
         self.params, self.ms, loss = self._step(
@@ -192,6 +103,111 @@ class DistributedBPRTrainer:
             name: jnp.asarray(np.asarray(v)) for name, v in self.ms.items()
         }
         self.model._sync_host()
+
+
+class DistributedBPRTrainer(_DistributedPairwiseTrainer):
+    """BPR SGD with tables row-sharded over "mp", batch over "dp"."""
+
+    PARAM_SPECS = BPR_PARAM_SPECS
+
+    def _build_step(self):
+        from ..models.bpr import _chunk_impl
+
+        model = self.model
+        hyper = {
+            "lu": model.lu,
+            "li": model.li,
+            "lj": model.lj,
+            "lb": model.lb,
+            "lr": model.lr,
+        }
+        cb, ct = self._shard_hooks()
+        param_shardings = self._param_shardings()
+        repl = NamedSharding(self.mesh, P())
+        chunk = partial(
+            _chunk_impl,
+            hyper=hyper,
+            batch_size=self.batch_size,
+            n_items=model.n_items,
+            k_candidates=model.k_candidates,
+            n_steps=self.scan_steps,
+            mode=model.mode,
+            constrain_batch=cb,
+            constrain_table=ct,
+        )
+
+        def step(params, ms, key, state):
+            return chunk(
+                params, ms, key,
+                state["user_rows"], state["flat_pos"], state["pos_bitmap"],
+            )
+
+        return jax.jit(
+            step,
+            out_shardings=(param_shardings, param_shardings, repl),
+            donate_argnums=(0, 1),
+        )
+
+
+class DistributedVBPRTrainer(_DistributedPairwiseTrainer):
+    """VBPR SGD: embedding tables + item features row-sharded over "mp",
+    the dense content projection (cem) and content bias (icb) replicated
+    (their gradients psum across "dp" via GSPMD), batch over "dp"."""
+
+    PARAM_SPECS = VBPR_PARAM_SPECS
+
+    def __init__(
+        self,
+        model: VBPR,
+        mesh: Mesh,
+        batch_size: int = 4096,
+        scan_steps: int = 8,
+    ):
+        assert model.feat is not None, "set features before distributing"
+        self.feat = jax.device_put(
+            jnp.asarray(model.feat), NamedSharding(mesh, P("mp", None))
+        )
+        super().__init__(model, mesh, batch_size, scan_steps)
+
+    def _build_step(self):
+        from ..models.vbpr import _chunk_impl
+
+        model = self.model
+        hyper = {
+            "lu": model.lu,
+            "li": model.li,
+            "lj": model.lj,
+            "lb": model.lb,
+            "le": model.le,
+            "lr": model.lr,
+        }
+        cb, ct = self._shard_hooks()
+        param_shardings = self._param_shardings()
+        repl = NamedSharding(self.mesh, P())
+        feat = self.feat
+        chunk = partial(
+            _chunk_impl,
+            hyper=hyper,
+            batch_size=self.batch_size,
+            n_items=model.n_items,
+            k_candidates=model.k_candidates,
+            n_steps=self.scan_steps,
+            mode=model.mode,
+            constrain_batch=cb,
+            constrain_table=ct,
+        )
+
+        def step(params, ms, key, state):
+            return chunk(
+                params, ms, key, feat,
+                state["user_rows"], state["flat_pos"], state["pos_bitmap"],
+            )
+
+        return jax.jit(
+            step,
+            out_shardings=(param_shardings, param_shardings, repl),
+            donate_argnums=(0, 1),
+        )
 
 
 def distributed_scores_topk(
@@ -211,7 +227,6 @@ def distributed_scores_topk(
     """
     u_shard = NamedSharding(mesh, P("dp", None))
     v_shard = NamedSharding(mesh, P("mp", None))
-    repl = NamedSharding(mesh, P())
     U_d = jax.device_put(jnp.asarray(U), u_shard)
     V_d = jax.device_put(jnp.asarray(V), v_shard)
     b_d = (
