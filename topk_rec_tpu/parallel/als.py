@@ -122,5 +122,8 @@ class DistributedALS:
             float(lam),
         )
         # np.array (not asarray): callers mutate the result (cold-start
-        # writeback) and jax buffers are read-only views
-        return np.array(new), float(fit)
+        # writeback) and jax buffers are read-only views. fetch() handles
+        # multi-host shards (replicate-then-read).
+        from .distributed import fetch
+
+        return np.array(fetch(new)), float(fit)

@@ -95,12 +95,15 @@ class _DistributedPairwiseTrainer:
         return float(loss)
 
     def sync_to_model(self) -> None:
-        """Pull sharded tables back into the host-side model state."""
+        """Pull sharded tables back into the host-side model state
+        (multi-host shards are replicated first — see distributed.fetch)."""
+        from .distributed import fetch
+
         self.model._params = {
-            name: jnp.asarray(np.asarray(v)) for name, v in self.params.items()
+            name: jnp.asarray(fetch(v)) for name, v in self.params.items()
         }
         self.model._ms = {
-            name: jnp.asarray(np.asarray(v)) for name, v in self.ms.items()
+            name: jnp.asarray(fetch(v)) for name, v in self.ms.items()
         }
         self.model._sync_host()
 
