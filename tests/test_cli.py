@@ -110,3 +110,44 @@ def test_fuse_cli(fold_dir, tmp_path, capsys):
             "-m", *dirs, "-sl", "im", "--n-samples", "2000",
         ])
         assert rc == 0
+
+
+REFERENCE_CLI = "/root/reference/evaluate.py"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_CLI), reason="reference checkout absent"
+)
+def test_evaluate_byte_identical_to_reference_cli(fold_dir, tmp_path, capsys):
+    """CLAUDE.md invariant, enforced in CI: our evaluate CLI's CSV line is
+    byte-identical to the UNTOUCHED reference CLI (ref evaluate.py:113-117)
+    on shared .dat inputs — string ids != indices, continuous random scores
+    (ties can legitimately order differently), no final-B.dat (the reference
+    bias path needs candidates == full catalog; covered by the verify
+    skill's full-catalog run)."""
+    import subprocess
+    import sys
+
+    from topk_rec_tpu.data.io import write_dat
+
+    rng = np.random.default_rng(123)
+    mdir = tmp_path / "byte_ident"
+    mdir.mkdir()
+    write_dat(str(mdir / "final-U.dat"),
+              rng.normal(size=(60, 8)).astype(np.float32))
+    write_dat(str(mdir / "final-V.dat"),
+              rng.normal(size=(50, 8)).astype(np.float32))
+
+    ref = subprocess.run(
+        [sys.executable, REFERENCE_CLI, "-d", str(fold_dir), "-m", str(mdir),
+         "-f", "0", "-sl", "im"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert ref.returncode == 0, ref.stderr
+    ref_line = [l for l in ref.stdout.splitlines() if l.startswith("im,")][-1]
+
+    main(["evaluate", "-d", str(fold_dir), "-m", str(mdir),
+          "-f", "0", "-sl", "im"])
+    out = capsys.readouterr().out
+    our_line = [l for l in out.splitlines() if l.startswith("im,")][-1]
+    assert our_line == ref_line

@@ -25,9 +25,10 @@ def test_oracle_hand_computed():
     np.testing.assert_array_equal(res.hits, [2.0, 2.0, 3.0])
     assert res.count == 3
     np.testing.assert_allclose(res.accuracy, [2 / 3, 2 / 3, 1.0])
-    # RR uses raw rank (t+1): user0 item1 at t=1 -> 1/2, item3 at t=3 -> 1/4;
-    # user1 item4 at t=0 -> 1.
-    np.testing.assert_allclose(res.rr, [1 / 2 + 1, 1 / 2 + 1, 1 / 2 + 1 / 4 + 1])
+    # RR buckets by RAW rank with value 1/(t+1) (ref utils.py:116-119):
+    # user0 item1 at t=1 -> bucket 1 value 1/2; item3 at t=3 -> bucket 3
+    # >= interval, dropped; user1 item4 at t=0 -> bucket 0 value 1.
+    np.testing.assert_allclose(res.rr, [1.0, 1.0 + 1 / 2, 1.0 + 1 / 2])
 
 
 def test_oracle_total_cutoff():
@@ -77,6 +78,9 @@ def test_device_matches_oracle(seed, step, total):
     np.testing.assert_array_equal(dev.hits, oracle.hits)
     assert dev.count == oracle.count
     np.testing.assert_allclose(dev.accuracy, oracle.accuracy)
+    # reciprocal-rank parity: device reconstructs the reference's raw-rank
+    # semantics (utils.py:116-119) via the seen-above counts
+    np.testing.assert_allclose(dev.rr, oracle.rr, rtol=1e-6)
 
 
 def test_device_evaluator_wrapper():

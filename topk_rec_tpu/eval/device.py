@@ -43,6 +43,38 @@ def _mask_topk(
     return vals, idx
 
 
+@partial(jax.jit, static_argnames=("n_cand",))
+def _seen_above_from_scores(
+    scores: jax.Array,       # [CU, n_cand] raw (unmasked) scores
+    packed_seen: jax.Array,  # [CU, ceil(n_cand/32)] uint32
+    idx: jax.Array,          # [CU, kk] returned unseen candidate indices
+    n_cand: int,
+) -> jax.Array:
+    """Per returned candidate: # of SEEN candidates scoring strictly above.
+
+    unseen-rank + this count = the raw rank ``t`` the reference walks
+    (evaluate.py:95-97 counts seen rows too before skipping them), which
+    the reciprocal-rank metric needs (utils.py:116-119 uses ``t`` for both
+    bucket and value). Sort-then-searchsorted keeps it O(n log n) per row
+    instead of kk full-row comparisons.
+    """
+    from ..ops.topk_pallas import expand_seen_mask
+
+    seen = expand_seen_mask(packed_seen, n_cand) != 0
+    vals = jnp.take_along_axis(scores, idx, axis=1)
+    ss = jnp.sort(jnp.where(seen, scores, -jnp.inf), axis=1)
+    pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(ss, vals)
+    return (n_cand - pos).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_cand",))
+def _raw_rank_scores(u_emb, v_cand, bias, packed_seen, idx, n_cand):
+    scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias[None, :]
+    return _seen_above_from_scores(scores, packed_seen, idx, n_cand)
+
+
 @partial(jax.jit, static_argnames=("k", "n_cand"))
 def _score_topk_chunk(
     u_emb: jax.Array,        # [CU, k_dim]
@@ -67,6 +99,7 @@ def topk_unseen(
     k: int,
     user_chunk: int = 8192,
     use_pallas: bool = False,
+    want_raw_rank: bool = False,
 ):
     """Top-k *unseen* candidates per user, in descending score order.
 
@@ -78,9 +111,13 @@ def topk_unseen(
       seen_bitmap: uint32 [n_users, ceil(n_items/32)] browsed-item bits.
       cand_item_ids: [n_cand] global item index of each candidate.
       k: how many unseen candidates to keep (== ``total`` of the protocol).
+      want_raw_rank: also return per-slot seen-above counts (for the
+        reciprocal-rank metric; costs one extra scoring matmul per chunk,
+        so it is off on the serving path).
 
-    Returns (values, indices) as numpy [n_users, k]; positions whose value is
-    -inf have fewer than k unseen candidates and must be ignored.
+    Returns (values, indices[, seen_above]) as numpy [n_users, k]; positions
+    whose value is -inf have fewer than k unseen candidates and must be
+    ignored.
     """
     from ..ops.topk_pallas import pack_candidate_bitmap
 
@@ -94,6 +131,7 @@ def topk_unseen(
 
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
+    out_sa = np.empty((n_users, k), dtype=np.int32) if want_raw_rank else None
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         pad = user_chunk - (stop - start)
@@ -102,16 +140,22 @@ def topk_unseen(
         if pad:
             u_emb = np.pad(u_emb, ((0, pad), (0, 0)))
             seen_words = jnp.pad(seen_words, ((0, pad), (0, 0)))
+        u_dev = jnp.asarray(u_emb)
         if use_pallas:
             vals, idx = _pallas_chunk(
-                jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
+                u_dev, v_dev, b_dev, seen_words, n_cand, k
             )
         else:
             vals, idx = _score_topk_chunk(
-                jnp.asarray(u_emb), v_dev, b_dev, seen_words, n_cand, k
+                u_dev, v_dev, b_dev, seen_words, n_cand, k
             )
         out_vals[start:stop] = np.asarray(vals)[: stop - start]
         out_idx[start:stop] = np.asarray(idx)[: stop - start]
+        if want_raw_rank:
+            sa = _raw_rank_scores(u_dev, v_dev, b_dev, seen_words, idx, n_cand)
+            out_sa[start:stop] = np.asarray(sa)[: stop - start]
+    if want_raw_rank:
+        return out_vals, out_idx, out_sa
     return out_vals, out_idx
 
 
@@ -155,24 +199,37 @@ def topk_unseen_scorer(
     bm_dev = jnp.asarray(packed)
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
+    out_sa = np.empty((n_users, k), dtype=np.int32)
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         scores = scorer(start, stop)
         vals, idx = _mask_topk(scores, bm_dev[start:stop], n_cand, k)
+        sa = _seen_above_from_scores(
+            jnp.asarray(scores), bm_dev[start:stop], idx, n_cand
+        )
         out_vals[start:stop] = np.asarray(vals)
         out_idx[start:stop] = np.asarray(idx)
-    return out_vals, out_idx
+        out_sa[start:stop] = np.asarray(sa)
+    return out_vals, out_idx, out_sa
 
 
 def _count_hits(
     top_idx: np.ndarray,
     top_vals: np.ndarray,
+    seen_above: Optional[np.ndarray],
     likes: Dict[int, Sequence[int]],
     n_cand: int,
     step: int,
     total: int,
 ) -> EvalResult:
-    """Vectorized bucketed hit counting from per-user top-k unseen lists."""
+    """Vectorized bucketed hit counting from per-user top-k unseen lists.
+
+    Hits bucket by unseen rank (the CLI contract, ref evaluate.py:100);
+    the reciprocal-rank variant buckets by RAW rank with value 1/(t+1)
+    (ref utils.py:116-119), reconstructed as unseen-rank + ``seen_above``.
+    With ``seen_above=None`` the rr field is returned as zeros (callers
+    that skip the extra scoring pass).
+    """
     interval = total // step
     users = np.array([u for u, l in likes.items() if len(l) > 0], dtype=np.int64)
     count = sum(len(l) for l in likes.values())
@@ -195,15 +252,13 @@ def _count_hits(
     for j in range(interval):
         cut = min((j + 1) * step, k_eff)
         hits[j] = hit[:, :cut].sum()
-    # Reciprocal-rank variant is rank-among-all-candidates in the reference
-    # (utils.py:119); the device path only knows unseen ranks, so we report
-    # the unseen-rank RR (documented difference; oracle keeps the original).
-    pos = np.arange(k_eff)[None, :]
-    rr_vals = np.where(hit, 1.0 / (pos + 1), 0.0)
     rrs = np.zeros(interval)
-    for j in range(interval):
-        cut = min((j + 1) * step, k_eff)
-        rrs[j] = rr_vals[:, :cut].sum()
+    if seen_above is not None:
+        raw = np.arange(k_eff)[None, :] + seen_above[users]  # raw rank t
+        rr_vals = np.where(hit, 1.0 / (raw + 1.0), 0.0)
+        bucket = raw // step
+        for j in range(interval):
+            rrs[j] = rr_vals[bucket <= j].sum()
     return EvalResult(hits=hits, rr=rrs, count=count)
 
 
@@ -226,11 +281,13 @@ def evaluate_scores_device(
     ``use_pallas`` routes through the fused single-kernel scoring+top-k
     path (ops/topk_pallas.py).
     """
-    vals, idx = topk_unseen(
+    vals, idx, seen_above = topk_unseen(
         U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk,
-        use_pallas,
+        use_pallas, want_raw_rank=True,
     )
-    return _count_hits(idx, vals, likes, V_cand.shape[0], step, total)
+    return _count_hits(
+        idx, vals, seen_above, likes, V_cand.shape[0], step, total
+    )
 
 
 class DeviceEvaluator:

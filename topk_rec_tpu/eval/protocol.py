@@ -57,8 +57,14 @@ def evaluate_oracle(
       step, total: bucket width and unseen-rank cutoff (ref evaluate.py:52-53).
 
     Returns summed hits / reciprocal-ranks per bucket and the denominator.
-    The reciprocal-rank variant mirrors reference utils.py:119 (1/(t+1) with
-    t the raw rank among all candidates).
+
+    Bucketing semantics differ between the reference's two evaluators and
+    we match each where it is defined: hits bucket by rank-among-UNSEEN
+    (``idx//step`` — the CLI contract, ref evaluate.py:100, which this
+    framework is byte-compared against), while the reciprocal-rank variant
+    exists only in the library twin and buckets by RAW rank with raw-rank
+    values (``j = t//step``, ``1/(t+1)`` — ref utils.py:116-119; buckets
+    past ``interval`` are dropped there, so they are here too).
     """
     interval = total // step
     n_cand = scores.shape[1]
@@ -77,9 +83,10 @@ def evaluate_oracle(
             cand = ranks[u, n_cand - 1 - t]
             if not seen[u, cand]:
                 if cand in like_set:
-                    j = idx // step
-                    uhit[j:] += 1
-                    urr[j:] += 1.0 / (t + 1)
+                    uhit[idx // step :] += 1
+                    jr = t // step
+                    if jr < interval:
+                        urr[jr:] += 1.0 / (t + 1)
                 idx += 1
             if idx == total:
                 break

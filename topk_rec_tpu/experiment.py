@@ -54,6 +54,10 @@ def run_experiment(spec: ExperimentSpec) -> Dict:
     acc_sums: Dict[str, Dict[str, np.ndarray]] = {
         s: {} for s in spec.scenarios
     }
+    # fold counts per (scenario, modality): averages divide by the number
+    # of cells actually evaluated, so a fold with missing scenario files
+    # can never silently deflate the reported accuracy
+    acc_counts: Dict[str, Dict[str, int]] = {s: {} for s in spec.scenarios}
     cells: Dict = {}
     for fold in spec.folds:
         inter, _, _ = Interactions.from_files(
@@ -82,6 +86,11 @@ def run_experiment(spec: ExperimentSpec) -> Dict:
                     spec.data_dir, f"f{fold}te.{scenario}.txt"
                 )
                 if not (os.path.exists(idl) and os.path.exists(txt)):
+                    tprint(
+                        f"[experiment] WARNING: fold {fold} scenario "
+                        f"{scenario} files missing — cell skipped (excluded "
+                        "from the average)"
+                    )
                     continue
                 cand_map = load_id_map(idl)
                 cand_ids = np.empty(len(cand_map), dtype=np.int64)
@@ -95,9 +104,11 @@ def run_experiment(spec: ExperimentSpec) -> Dict:
                     modality, np.zeros(spec.total // spec.step)
                 )
                 prev += res.accuracy
-    n_folds = len(spec.folds)
+                acc_counts[scenario][modality] = (
+                    acc_counts[scenario].get(modality, 0) + 1
+                )
     accuracy = {
-        s: {m: v / n_folds for m, v in per_mod.items()}
+        s: {m: v / acc_counts[s][m] for m, v in per_mod.items()}
         for s, per_mod in acc_sums.items()
     }
     return {"cells": cells, "accuracy": accuracy}

@@ -290,7 +290,7 @@ def evaluate_fused(
         w = w_dev[start:stop] if per_user else w_dev
         return fuse(stack, w)
 
-    vals, idx = topk_unseen_scorer(
+    vals, idx, seen_above = topk_unseen_scorer(
         scorer,
         modalities.n_users,
         len(np.asarray(cand_ids)),
@@ -299,4 +299,6 @@ def evaluate_fused(
         total,
         user_chunk,
     )
-    return _count_hits(idx, vals, likes, len(np.asarray(cand_ids)), step, total)
+    return _count_hits(
+        idx, vals, seen_above, likes, len(np.asarray(cand_ids)), step, total
+    )
