@@ -11,8 +11,12 @@ benchmarks/reference_baseline.py): 18,778 samples/sec minted on this
 machine (2026-08-17, see BASELINE.md). The reference's real TF1 path would
 be slower (feed_dict round trips), so vs_baseline is conservative.
 
-Extra diagnostics (stderr, not part of the contract): large-batch
-throughput and the fused scoring+top-k rate.
+The JSON line also carries a "scoring" sub-object: full-catalog
+scoring+top-k throughput (scored user-item pairs/sec/chip) for the fused
+Pallas kernel at the MovieLens serving shape (69878x10380, d=50, k=30,
+bf16 matmul) and its % of the MXU-only roofline (speed-of-light analysis
+in BASELINE.md). Extra diagnostics (stderr, not part of the contract):
+large-batch training throughput and the unfused-XLA scoring rate.
 """
 
 import json
@@ -22,6 +26,77 @@ import time
 import numpy as np
 
 REFERENCE_CPU_SAMPLES_PER_SEC = 18778.0  # benchmarks/reference_baseline.py
+
+# TPU v5e peak: 197 TFLOP/s bf16 (public spec); the scoring matmul is
+# 2*U*I*d flops. The kernel's top-k selection adds ~8*k*U*I VPU ops on top
+# (ops/topk_pallas.py docstring) which the MXU roofline ignores, so
+# roofline_mxu_pct understates true kernel efficiency — it is the honest
+# "fraction of speed-of-light if selection were free" number.
+V5E_BF16_FLOPS = 197e12
+
+
+def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=8):
+    """Fused scoring+top-k throughput at the MovieLens serving shape.
+
+    Returns (pairs_per_sec, mxu_roofline_pct, xla_pairs_per_sec).
+    Timing forces a scalar host fetch per iteration (block_until_ready
+    undercounts behind the axon tunnel; fetching full results would be
+    tunnel-bound at ~150MB/s — see CLAUDE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.ops.topk_pallas import fused_score_topk
+
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.normal(size=(n_users, d)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n_items).astype(np.float32))
+    # realistic seen-mask density (~2% of catalog browsed per user),
+    # generated on device — a host-built [U, I] mask would cost a ~725MB
+    # tunnel transfer before the clock even starts
+    mask = jax.jit(
+        lambda key: (
+            jax.random.uniform(key, (n_users, n_items)) < 0.02
+        ).astype(jnp.int8)
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run_pallas(U, V, b, mask):
+        vals, idx = fused_score_topk(
+            U, V, b, mask, k, exact_matmul=False
+        )
+        return jnp.sum(vals) + jnp.sum(idx)
+
+    @jax.jit
+    def run_xla(U, V, b, mask):
+        scores = jnp.dot(
+            U, V.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + b[None, :]
+        scores = jnp.where(mask != 0, -jnp.inf, scores)
+        vals, idx = jax.lax.top_k(scores, k)
+        return jnp.sum(vals) + jnp.sum(idx)
+
+    def timeit(fn):
+        float(fn(U, V, b, mask))  # compile + warm
+        t0 = time.time()
+        acc = 0.0
+        for _ in range(iters):
+            acc += float(fn(U, V, b, mask))
+        dt = (time.time() - t0) / iters
+        assert np.isfinite(acc)
+        return dt
+
+    dt_pallas = timeit(run_pallas)
+    dt_xla = timeit(run_xla)
+    pairs = n_users * n_items
+    t_mxu = 2.0 * pairs * d / V5E_BF16_FLOPS
+    return (
+        pairs / dt_pallas,
+        100.0 * t_mxu / dt_pallas,
+        pairs / dt_xla,
+    )
 
 
 def main() -> None:
@@ -87,16 +162,35 @@ def main() -> None:
     run_chunks(n_chunks, batch_size, scan_steps, 2)
     dt = time.time() - t0
     sps = n_chunks * scan_steps * batch_size / dt
-    print(
-        json.dumps(
-            {
-                "metric": "bpr_train_samples_per_sec",
-                "value": round(sps, 1),
-                "unit": "samples/sec (k=50, batch=256 reference parity)",
-                "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
-            }
+
+    # full-catalog scoring+top-k (serving path); failures must not break
+    # the headline contract
+    scoring = None
+    try:
+        pal_pps, mxu_pct, xla_pps = bench_scoring()
+        scoring = {
+            "pairs_per_sec_per_chip": round(pal_pps, 1),
+            "roofline_mxu_pct": round(mxu_pct, 1),
+            "kernel": "pallas_fused(bf16,k=30)",
+            "shape": "69878x10380xd50",
+        }
+        print(
+            f"extra: scoring pallas {pal_pps:,.0f} pairs/s "
+            f"({mxu_pct:.1f}% of MXU roofline), xla {xla_pps:,.0f} pairs/s",
+            file=sys.stderr,
         )
-    )
+    except Exception as e:
+        print(f"scoring bench failed: {e}", file=sys.stderr)
+
+    line = {
+        "metric": "bpr_train_samples_per_sec",
+        "value": round(sps, 1),
+        "unit": "samples/sec (k=50, batch=256 reference parity)",
+        "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+    }
+    if scoring is not None:
+        line["scoring"] = scoring
+    print(json.dumps(line))
 
     # --- extra diagnostics to stderr ---
     try:

@@ -1,0 +1,104 @@
+"""Content-encoder tests: MLP data-parallel fit, SDAE pretraining, DPM+SDAE."""
+
+import jax
+import numpy as np
+
+from topk_rec_tpu.models import DPM, MLPEncoder, SDAEEncoder
+from topk_rec_tpu.parallel import make_mesh
+
+
+def _toy_regression(n=240, d=24, k=6, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    W = rng.normal(size=(d, k)).astype(np.float32)
+    Y = np.tanh(X @ W) + 0.05 * rng.normal(size=(n, k)).astype(np.float32)
+    return X, Y.astype(np.float32)
+
+
+def test_mlp_mesh_fit_matches_local():
+    """Data-parallel fit (batch over "dp", psum'd grads) == local numerics."""
+    X, Y = _toy_regression()
+    enc_a = MLPEncoder(k=6, d=24, hidden_layers=(16, 8), seed=3, batch_size=32)
+    enc_b = MLPEncoder(
+        k=6, d=24, hidden_layers=(16, 8), seed=3, batch_size=32,
+        mesh=make_mesh(dp=4, mp=2),
+    )
+    for _ in range(3):
+        la = enc_a.fit(X, Y)
+        lb = enc_b.fit(X, Y)
+        np.testing.assert_allclose(lb, la, rtol=1e-5)
+    np.testing.assert_allclose(
+        enc_b.predict(X), enc_a.predict(X), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_sdae_pretrain_reduces_reconstruction_loss():
+    X, _ = _toy_regression()
+    enc = SDAEEncoder(
+        k=6, d=24, hidden_layers=(16, 8), seed=1, batch_size=32,
+        pretrain_epochs=4, pretrain_lr=1e-2,
+    )
+    enc.pretrain(X)
+    assert len(enc.pretrain_losses) == 2  # one per hidden layer
+    for losses in enc.pretrain_losses:
+        assert losses[-1] < losses[0]  # denoising AE actually learns
+        assert np.isfinite(losses).all()
+
+
+def test_sdae_pretrain_beats_cold_mlp_floor():
+    """The CDL claim on synthetic cold-start: with abundant unlabeled
+    features (bounded, low-rank structured — tf-idf-like) but scarce latent
+    targets, unsupervised layer-wise pretraining on ALL features gives
+    lower held-out regression error than the same architecture trained
+    from scratch on the labeled subset alone. Deterministic given seeds;
+    holds across seeds 2/3/7 with margins >= 4%."""
+    rng = np.random.default_rng(5)
+    n, d, k, r = 400, 40, 6, 4
+    Z = rng.normal(size=(n, r)).astype(np.float32)
+    B = rng.normal(size=(r, d)).astype(np.float32)
+    X = 1.0 / (
+        1.0 + np.exp(-(Z @ B + 0.1 * rng.normal(size=(n, d))))
+    )
+    X = X.astype(np.float32)
+    Y = np.tanh(Z @ rng.normal(size=(r, k))).astype(np.float32)
+    Xl, Yl = X[:48], Y[:48]       # scarce labeled subset
+    Xh, Yh = X[48:], Y[48:]       # held out
+
+    kwargs = dict(
+        k=k, d=d, hidden_layers=(32, 16), seed=3, batch_size=16, lr=1e-3
+    )
+    cold = MLPEncoder(**kwargs)
+    warm = SDAEEncoder(
+        **kwargs, pretrain_epochs=6, pretrain_lr=3e-3, corrupt=0.2
+    )
+    warm.pretrain(X)              # unsupervised, all features
+    for _ in range(30):
+        cold.fit(Xl, Yl)
+        warm.fit(Xl, Yl)
+    mse_cold = float(((cold.predict(Xh) - Yh) ** 2).mean())
+    mse_warm = float(((warm.predict(Xh) - Yh) ** 2).mean())
+    assert mse_warm < mse_cold, (mse_warm, mse_cold)
+
+
+def test_dpm_with_sdae_cold_start(small_inter):
+    """DPM alternation with the SDAE encoder: pretrain hook fires, training
+    converges, cold-start writeback fills unrated rows from the encoder."""
+    rng = np.random.default_rng(4)
+    d = 12
+    feat = rng.normal(size=(small_inter.n_items, d)).astype(np.float32)
+    model = DPM(k=6, d=d, seed=0, block_size=32)
+    model.set_interactions(small_inter)
+    model.set_features(feat)
+    enc = SDAEEncoder(
+        k=6, d=d, hidden_layers=(10,), seed=0, batch_size=16,
+        pretrain_epochs=2, pretrain_lr=1e-2,
+    )
+    model.train(enc, max_iter=3, verbose=False)
+    assert enc.pretrain_losses, "DPM.train must invoke the pretrain hook"
+    assert np.isfinite(model.fue).all() and np.isfinite(model.fie).all()
+    unrated = np.setdiff1d(
+        np.arange(small_inter.n_items), small_inter.rated_items
+    )
+    if unrated.size:
+        Fe = enc.predict(feat)
+        np.testing.assert_allclose(model.fie[unrated], Fe[unrated], rtol=1e-6)

@@ -4,7 +4,7 @@ from .vbpr import VBPR
 from .wmf import WMF
 from .cer import CER
 from .dpm import DPM
-from .encoders import Encoder, MLPEncoder
+from .encoders import Encoder, MLPEncoder, SDAEEncoder
 
 __all__ = [
     "Recommender",
@@ -15,4 +15,5 @@ __all__ = [
     "DPM",
     "Encoder",
     "MLPEncoder",
+    "SDAEEncoder",
 ]

@@ -55,12 +55,16 @@ class DPM(WMF):
         model_path: Optional[str] = None,
         verbose: bool = True,
         log_dir: Optional[str] = None,
+        pretrain: bool = True,
     ) -> None:
         from ..utils.statelog import StateLog
 
         assert self.inter is not None and self.feat is not None
         if isinstance(encoder, type):
-            self.encoder = encoder(self.k, self.d)
+            try:
+                self.encoder = encoder(self.k, self.d, mesh=self.mesh)
+            except TypeError:  # encoders without mesh support
+                self.encoder = encoder(self.k, self.d)
         else:
             self.encoder = encoder
         if model_path is not None and os.path.isdir(model_path):
@@ -73,6 +77,11 @@ class DPM(WMF):
                 "max_iter": max_iter,
             },
         )
+        if pretrain:
+            # layer-wise unsupervised init where the encoder implements it
+            # (SDAE/CDL); the reference MLP's hook is a no-op
+            # (ref single/mlp.py:42-43), so MLP behavior is unchanged.
+            self.encoder.pretrain(self.feat, None)
         prev_loss = None
         inter = self.inter
         for it in range(max_iter):

@@ -51,17 +51,25 @@ def _forward(params: List, x: jax.Array) -> jax.Array:
     return h @ W + b
 
 
-@partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0, 1))
-def _fit_epoch(
+def _fit_epoch_impl(
     params: List,
     ms: List,
     X: jax.Array,       # [n_pad, d] permuted + zero-padded
     Y: jax.Array,       # [n_pad, k]
     row_ok: jax.Array,  # [n_pad] 1.0 for real rows, 0.0 for padding
-    lr: float,
+    lr,
     batch_size: int,
+    constrain_batch=None,
 ):
-    """One shuffled minibatch-SGD sweep; returns summed pre-update loss."""
+    """One shuffled minibatch-SGD sweep; returns summed pre-update loss.
+
+    ``constrain_batch`` is the data-parallel hook: a mesh caller pins each
+    minibatch's rows to the "dp" axis while the (replicated) parameters'
+    gradients — sums over the batch — psum across shards via GSPMD
+    (SURVEY §2.4 "data parallelism for dense content encoders").
+    """
+    if constrain_batch is None:
+        constrain_batch = lambda x: x
     n_batches = X.shape[0] // batch_size
 
     def loss_fn(p, xb, yb, wb):
@@ -71,7 +79,8 @@ def _fit_epoch(
     def step(carry, idx):
         params, ms = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * batch_size, batch_size)
-        xb, yb, wb = sl(X), sl(Y), sl(row_ok)
+        xb, yb = constrain_batch(sl(X)), constrain_batch(sl(Y))
+        wb = sl(row_ok)
         loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb, wb)
         new_params = []
         new_ms = []
@@ -93,6 +102,12 @@ def _fit_epoch(
     return params, ms, jnp.sum(losses)
 
 
+@partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0, 1))
+def _fit_epoch(params, ms, X, Y, row_ok, lr, batch_size: int):
+    """Single-device compiled fit sweep (see ``_fit_epoch_impl``)."""
+    return _fit_epoch_impl(params, ms, X, Y, row_ok, lr, batch_size)
+
+
 @partial(jax.jit, static_argnames=())
 def _predict(params: List, X: jax.Array) -> jax.Array:
     return _forward(params, X)
@@ -109,6 +124,7 @@ class MLPEncoder(Encoder):
         hidden_layers: Sequence[int] = (2000, 1000),
         seed: int = 0,
         batch_size: int = 64,
+        mesh=None,
     ):
         self.k = k
         self.d = d
@@ -130,6 +146,28 @@ class MLPEncoder(Encoder):
         self.ms = [
             (jnp.zeros_like(W), jnp.zeros_like(b)) for W, b in self.params
         ]
+        self.mesh = None
+        self._fit_fn = _fit_epoch
+        if mesh is not None:
+            self.set_mesh(mesh)
+
+    def set_mesh(self, mesh) -> None:
+        """Data-parallel fit: minibatch rows sharded over "dp", parameters
+        replicated — their batch-summed gradients psum across shards via
+        GSPMD (SURVEY §2.4; the reference encoder is single-device,
+        single/mlp.py:32-40)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        dp = NamedSharding(mesh, P("dp", None))
+        repl = NamedSharding(mesh, P())
+        cb = lambda x: jax.lax.with_sharding_constraint(x, dp)
+        self._fit_fn = jax.jit(
+            partial(_fit_epoch_impl, constrain_batch=cb),
+            static_argnames=("batch_size",),
+            donate_argnums=(0, 1),
+            out_shardings=(None, None, repl),
+        )
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         return np.asarray(_predict(self.params, jnp.asarray(X, dtype=jnp.float32)))
@@ -145,14 +183,14 @@ class MLPEncoder(Encoder):
         Xp[:n] = X[perm]
         Yp[:n] = Y[perm]
         ok[:n] = 1.0
-        self.params, self.ms, loss = _fit_epoch(
+        self.params, self.ms, loss = self._fit_fn(
             self.params,
             self.ms,
             jnp.asarray(Xp),
             jnp.asarray(Yp),
             jnp.asarray(ok),
             self.lr,
-            self.batch_size,
+            batch_size=self.batch_size,
         )
         return float(loss)
 
@@ -177,3 +215,134 @@ class MLPEncoder(Encoder):
             (jnp.asarray(state[f"mW{i}"]), jnp.asarray(state[f"mb{i}"]))
             for i in range(n_layers)
         ]
+
+
+@partial(jax.jit, static_argnames=("batch_size", "linear_out"))
+def _dae_pretrain_epoch(
+    W, b, Wd, bd, ms,      # encode/decode params + RMSProp accumulators
+    H: jax.Array,          # [n_pad, d_in] layer input (permuted, padded)
+    row_ok: jax.Array,     # [n_pad]
+    noise_key: jax.Array,
+    corrupt: float,
+    lr,
+    batch_size: int,
+    linear_out: bool,
+):
+    """One denoising-autoencoder SGD sweep for a single layer.
+
+    Masking-noise corruption of the input, sigmoid encode, (linear or
+    sigmoid) decode, 0.5·Σ(H − dec)² reconstruction loss, RMSProp — the
+    CDL/SDAE layer-wise pretraining recipe (the reference's encoder
+    interface reserves the hook but never implements it,
+    single/encoder.py:21-24, single/mlp.py:42-43).
+    """
+    n_batches = H.shape[0] // batch_size
+    keys = jax.random.split(noise_key, n_batches)
+
+    def loss_fn(p, hb, wb, key):
+        W, b, Wd, bd = p
+        mask = jax.random.bernoulli(key, 1.0 - corrupt, hb.shape)
+        z = jax.nn.sigmoid(jnp.where(mask, hb, 0.0) @ W + b)
+        dec = z @ Wd + bd
+        if not linear_out:
+            dec = jax.nn.sigmoid(dec)
+        return 0.5 * jnp.sum(wb[:, None] * (hb - dec) ** 2)
+
+    def step(carry, xs):
+        p, ms = carry
+        idx, key = xs
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * batch_size, batch_size)
+        hb, wb = sl(H), sl(row_ok)
+        loss, grads = jax.value_and_grad(loss_fn)(p, hb, wb, key)
+        new_p, new_ms = [], []
+        for pi, gi, mi in zip(p, grads, ms):
+            mi = 0.9 * mi + 0.1 * gi * gi
+            new_p.append(pi - lr * gi / jnp.sqrt(mi + 1e-10))
+            new_ms.append(mi)
+        return (tuple(new_p), tuple(new_ms)), loss
+
+    (p, ms), losses = jax.lax.scan(
+        step, ((W, b, Wd, bd), ms), (jnp.arange(n_batches), keys)
+    )
+    return p, ms, jnp.sum(losses)
+
+
+class SDAEEncoder(MLPEncoder):
+    """Stacked denoising autoencoder content encoder (CDL-style).
+
+    Same d→hidden→…→k regression stack as :class:`MLPEncoder` (so ``fit``/
+    ``predict``/checkpointing are inherited), plus a real ``pretrain``:
+    each hidden layer is initialized by training a single-layer denoising
+    autoencoder on the previous layer's (clean) activations — masking
+    noise at ``corrupt`` rate, reconstruction by a throwaway decoder —
+    greedily bottom-up, before ``fit`` fine-tunes end-to-end against the
+    ALS latents (DPM/CDL alternation, models/dpm.py). Extends the
+    reference's pluggable encoder interface (single/encoder.py:13-24),
+    whose ``pertrain [sic]`` hook is a no-op there (single/mlp.py:42-43).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        d: int,
+        lr: float = 1e-4,
+        hidden_layers: Sequence[int] = (2000, 1000),
+        seed: int = 0,
+        batch_size: int = 64,
+        mesh=None,
+        corrupt: float = 0.3,
+        pretrain_lr: float = 1e-3,
+        pretrain_epochs: int = 3,
+    ):
+        super().__init__(k, d, lr, hidden_layers, seed, batch_size, mesh)
+        self.corrupt = corrupt
+        self.pretrain_lr = pretrain_lr
+        self.pretrain_epochs = pretrain_epochs
+        self._pretrain_key = jax.random.PRNGKey(seed + 1)
+        self.pretrain_losses: List[List[float]] = []
+
+    def pretrain(self, X: np.ndarray, Y: np.ndarray = None) -> None:
+        """Greedy layer-wise denoising pretraining of the hidden layers.
+
+        The output (regression) layer is left at its init — it has no
+        reconstruction target; ``fit`` trains it.
+        """
+        H = np.asarray(X, dtype=np.float32)
+        self.pretrain_losses = []
+        for li in range(len(self.params) - 1):
+            W, b = self.params[li]
+            d_in = int(W.shape[0])
+            key = jax.random.PRNGKey(
+                int(jax.random.randint(self._pretrain_key, (), 0, 2**31 - 1))
+            )
+            self._pretrain_key, _ = jax.random.split(self._pretrain_key)
+            Wd = jnp.asarray(np.asarray(W).T.copy())
+            bd = jnp.zeros(d_in, dtype=jnp.float32)
+            ms = tuple(
+                jnp.zeros_like(p) for p in (W, b, Wd, bd)
+            )
+            losses = []
+            for _ in range(self.pretrain_epochs):
+                n = H.shape[0]
+                perm = self._rng.permutation(n)
+                pad = (-n) % self.batch_size
+                Hp = np.zeros((n + pad, d_in), dtype=np.float32)
+                ok = np.zeros(n + pad, dtype=np.float32)
+                Hp[:n] = H[perm]
+                ok[:n] = 1.0
+                key, sub = jax.random.split(key)
+                (W, b, Wd, bd), ms, loss = _dae_pretrain_epoch(
+                    W, b, Wd, bd, ms,
+                    jnp.asarray(Hp), jnp.asarray(ok), sub,
+                    self.corrupt, self.pretrain_lr,
+                    batch_size=self.batch_size,
+                    linear_out=(li == 0),  # raw features are unbounded
+                )
+                losses.append(float(loss))
+            self.params[li] = (W, b)
+            self.ms[li] = (jnp.zeros_like(W), jnp.zeros_like(b))
+            self.pretrain_losses.append(losses)
+            # clean (uncorrupted) activations feed the next layer
+            H = np.asarray(
+                jax.nn.sigmoid(jnp.asarray(H) @ W + b)
+            )

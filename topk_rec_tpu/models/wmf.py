@@ -49,6 +49,7 @@ class WMF(Recommender):
         self._user_plan: Optional[ALSPlan] = None
         self._item_plan: Optional[ALSPlan] = None
         self._half_sweep = half_sweep
+        self.mesh = None
         if mesh is not None:
             self.set_mesh(mesh)
 
@@ -58,6 +59,7 @@ class WMF(Recommender):
         whole model family (WMF/CER/DPM) inherits this dispatch."""
         from ..parallel.als import DistributedALS
 
+        self.mesh = mesh
         self._half_sweep = DistributedALS(mesh).half_sweep
 
     def _on_data_loaded(self) -> None:
