@@ -151,3 +151,58 @@ def test_evaluate_byte_identical_to_reference_cli(fold_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     our_line = [l for l in out.splitlines() if l.startswith("im,")][-1]
     assert our_line == ref_line
+
+
+def test_train_save_lag_and_profile(fold_dir, tmp_path, capsys):
+    """--save-lag writes numbered %04d-U/V.dat checkpoints into -o
+    (reference cr --save_lag, cr.cpp:284-295); --profile-dir captures a
+    jax.profiler trace directory."""
+    out = str(tmp_path / "wmf_lag")
+    prof = str(tmp_path / "trace")
+    rc = main([
+        "train", "--model", "wmf", "-d", str(fold_dir), "-o", out,
+        "--k", "6", "--max-iter", "5", "--tol", "0",
+        "--save-lag", "2", "--profile-dir", prof,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "0000-U.dat"))
+    assert os.path.exists(os.path.join(out, "0002-V.dat"))
+    assert os.path.exists(os.path.join(out, "0004-U.dat"))
+    assert not os.path.exists(os.path.join(out, "0001-U.dat"))
+    assert os.path.isdir(prof) and os.listdir(prof)  # trace files captured
+
+
+def test_fuse_p_sweep(fold_dir, tmp_path, capsys):
+    dirs = []
+    for seed in ("5", "6"):
+        out = str(tmp_path / f"ps{seed}")
+        main([
+            "train", "--model", "bpr", "-d", str(fold_dir), "-o", out,
+            "--k", "8", "--epochs", "1", "--batch-size", "128",
+            "--seed", seed,
+        ])
+        dirs.append(out)
+    capsys.readouterr()
+    rc = main([
+        "fuse", "--strategy", "rank", "--p-sweep", "-d", str(fold_dir),
+        "-m", *dirs, "-sl", "im",
+    ])
+    assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines()
+        if l.startswith("rank-p")
+    ]
+    assert len(lines) == 9  # p in {0.1..0.9} (reference pfusion.py:113)
+    assert lines[0].startswith("rank-p0.1-im,")
+    assert lines[-1].startswith("rank-p0.9-im,")
+
+
+def test_train_dpm_sdae_encoder(fold_dir, tmp_path):
+    out = str(tmp_path / "dpm_sdae")
+    rc = main([
+        "train", "--model", "dpm", "-d", str(fold_dir), "-o", out,
+        "--content", "meta.pkl", "--d", "20", "--k", "6", "--max-iter", "2",
+        "--encoder", "sdae", "--encoder-hidden", "12",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "final-V.dat"))

@@ -227,3 +227,42 @@ def test_vbpr_checkpoint_roundtrip(content_fold, tmp_path):
     # cem restored exactly from native checkpoint -> identical composition
     np.testing.assert_allclose(model2.fie, model.fie, atol=3e-6)
     np.testing.assert_allclose(model2.fib, model.fib, atol=3e-6)
+
+
+def test_vbpr_full_k_legacy_layout(small_inter):
+    """full_k=True reproduces the legacy Theano VBPR factor layout
+    (reference old/methods/vbpr.py:37-43: k-wide rating AND k-wide
+    user-content factors, vs the split k/2+k/2 of single/vbpr.py:37-48)."""
+    import jax
+
+    from topk_rec_tpu.models import VBPR
+
+    rng = np.random.default_rng(21)
+    d = 10
+    feat = rng.normal(size=(small_inter.n_items, d)).astype(np.float32)
+    model = VBPR(k=6, d=d, lr=0.05, seed=2, full_k=True)
+    model.set_interactions(small_inter)
+    model.set_features(feat)
+    model.train(epochs=2, batch_size=64, scan_steps=4, verbose=False)
+    # full-width factors: ure/uce are [n, k] (not k/2); composed export is
+    # [n, 2k] and scoring still works end-to-end
+    assert np.asarray(model._params["ure"]).shape == (small_inter.n_users, 6)
+    assert np.asarray(model._params["uce"]).shape == (small_inter.n_users, 6)
+    assert np.asarray(model._params["cem"]).shape == (d, 6)
+    assert model.fue.shape == (small_inter.n_users, 12)
+    assert model.fie.shape == (small_inter.n_items, 12)
+    assert np.isfinite(model.fue).all() and np.isfinite(model.fib).all()
+    # warm-start round trip preserves the full-k split
+    model2 = VBPR(k=6, d=d, lr=0.05, seed=3, full_k=True)
+    model2.set_interactions(small_inter)
+    model2.set_features(feat)
+    model2.fue = model.fue
+    model2.fie = model.fie
+    model2.fib = model.fib
+    model2._init_params(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(model2._params["ure"]), model.fue[:, :6]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model2._params["uce"]), model.fue[:, 6:]
+    )

@@ -118,3 +118,45 @@ def test_planned_vector_table():
     )
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a), rtol=1e-5)
+
+
+def test_planned_split_matches_fused_planned_rmsprop():
+    """planned_rows + segment_sum + apply_planned_rmsprop (the production
+    split used by the BPR/VBPR steps) must bitwise-match the fused
+    planned_rmsprop, including duplicate rows and OOB padding slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.ops.sparse_update import (
+        apply_planned_rmsprop,
+        plan_sparse_updates,
+        planned_rmsprop,
+        planned_rows,
+    )
+
+    rng = np.random.default_rng(8)
+    n_rows, k, m = 40, 6, 16
+    table = jnp.asarray(rng.normal(size=(n_rows, k)).astype(np.float32))
+    acc = jnp.asarray(
+        np.abs(rng.normal(size=(n_rows, k))).astype(np.float32)
+    )
+    # duplicates guaranteed: sample rows from a small pool
+    idx = rng.integers(0, 9, size=m).astype(np.int32)
+    grads = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    uniq, seg = plan_sparse_updates(jnp.asarray(idx)[None, :])
+    uniq, seg = uniq[0], seg[0]
+
+    t_fused, a_fused = planned_rmsprop(table, acc, uniq, seg, grads, 0.1)
+
+    rows, acc_rows = planned_rows(table, acc, uniq)
+    agg = jax.ops.segment_sum(grads, seg, num_segments=m)
+    t_split, a_split = apply_planned_rmsprop(
+        table, acc, uniq, rows, acc_rows, agg, 0.1
+    )
+    np.testing.assert_array_equal(np.asarray(t_fused), np.asarray(t_split))
+    np.testing.assert_array_equal(np.asarray(a_fused), np.asarray(a_split))
+    # rows not touched stay bitwise-identical
+    untouched = np.setdiff1d(np.arange(n_rows), idx)
+    np.testing.assert_array_equal(
+        np.asarray(t_split)[untouched], np.asarray(table)[untouched]
+    )

@@ -30,10 +30,17 @@ if os.environ.get("TKR_PLATFORM"):
 
 import numpy as np
 
+from .config import DataConfig, EvalConfig, ModelConfig, TrainConfig
 from .data import Interactions, load_id_map, read_dat  # noqa: F401
 from .eval import DeviceEvaluator
 from .eval.protocol import load_test_likes
 from .utils import tprint
+
+# single source of defaults for the CLI flags (SURVEY §5: one typed config
+# system feeding all entry points, vs the reference's four ad-hoc layers)
+_MC = ModelConfig()
+_TC = TrainConfig()
+_EC = EvalConfig()
 
 
 def _load_fold(data_dir: str, fold: int):
@@ -78,80 +85,128 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
-def _build_model(args):
+def build_model(mc: ModelConfig, mesh=None):
+    """Instantiate a model from its typed config."""
     from .models import BPR, CER, DPM, VBPR, WMF
 
-    name = args.model_name
+    name = mc.model
     if name == "bpr":
         return BPR(
-            k=args.k, lambda_u=args.lambda_u, lambda_i=args.lambda_i,
-            lambda_j=args.lambda_j, lambda_b=args.lambda_b, lr=args.lr,
-            mode=args.mode, seed=args.seed,
+            k=mc.k, lambda_u=mc.lambda_u, lambda_i=mc.lambda_i,
+            lambda_j=mc.lambda_j, lambda_b=mc.lambda_b, lr=mc.lr,
+            mode=mc.mode, seed=mc.seed,
         )
     if name == "vbpr":
         return VBPR(
-            k=args.k, d=args.d, lambda_u=args.lambda_u,
-            lambda_i=args.lambda_i, lambda_j=args.lambda_j,
-            lambda_b=args.lambda_b, lambda_e=args.lambda_e, lr=args.lr,
-            mode=args.mode, seed=args.seed,
+            k=mc.k, d=mc.d, lambda_u=mc.lambda_u,
+            lambda_i=mc.lambda_i, lambda_j=mc.lambda_j,
+            lambda_b=mc.lambda_b, lambda_e=mc.lambda_e, lr=mc.lr,
+            mode=mc.mode, seed=mc.seed,
         )
     if name == "wmf":
         return WMF(
-            k=args.k, lu=args.als_lu, lv=args.als_lv_wmf, a=args.als_a,
-            b=args.als_b, seed=args.seed,
+            k=mc.k, lu=mc.als_lu, lv=mc.als_lv, a=mc.als_a,
+            b=mc.als_b, seed=mc.seed, mesh=mesh,
         )
     if name == "cer":
         return CER(
-            k=args.k, d=args.d, lu=args.als_lu, lv=args.als_lv,
-            le=args.als_le, a=args.als_a, b=args.als_b, seed=args.seed,
+            k=mc.k, d=mc.d, lu=mc.als_lu, lv=mc.als_lv,
+            le=mc.als_le, a=mc.als_a, b=mc.als_b, seed=mc.seed, mesh=mesh,
         )
     if name == "dpm":
         return DPM(
-            k=args.k, d=args.d, lu=args.als_lu, lv=args.als_lv,
-            le=args.als_le, a=args.als_a, b=args.als_b, seed=args.seed,
+            k=mc.k, d=mc.d, lu=mc.als_lu, lv=mc.als_lv,
+            le=mc.als_le, a=mc.als_a, b=mc.als_b, seed=mc.seed, mesh=mesh,
         )
     raise SystemExit(f"unknown model {name!r}")
 
 
-def cmd_train(args) -> int:
-    model = _build_model(args)
-    model.load_training_data(
-        os.path.join(args.data, "uid"),
-        os.path.join(args.data, "vid"),
-        os.path.join(args.data, f"f{args.fold}tr.txt"),
-    )
-    if args.model_name in ("vbpr", "cer", "dpm"):
-        if not args.content:
-            raise SystemExit(f"--content is required for {args.model_name}")
-        model.load_content_data(
-            os.path.join(args.data, args.content),
-            os.path.join(args.data, "vid"),
-        )
-    if args.model_name in ("bpr", "vbpr"):
-        model.train(
-            epochs=args.epochs,
-            batch_size=args.batch_size,
-            epoch_sample_limit=args.epoch_sample_limit,
-            model_path=args.warm_start,
-        )
-    elif args.model_name == "dpm":
-        from .models import MLPEncoder
+def train_from_config(cfg: TrainConfig, mesh=None):
+    """Library-level training driver over the typed config (used by the
+    CLI and scripts; replaces the reference's edit-the-script train.py).
+    Returns the trained model after exporting embeddings."""
+    from .utils.profiling import profile_trace
 
-        enc = MLPEncoder(
-            args.k, model.d, hidden_layers=tuple(args.encoder_hidden),
+    mc = cfg.model
+    model = build_model(mc, mesh=mesh)
+    model.load_training_data(
+        os.path.join(cfg.data.data_dir, cfg.data.uid_file),
+        os.path.join(cfg.data.data_dir, cfg.data.iid_file),
+        os.path.join(cfg.data.data_dir, cfg.data.train_file),
+    )
+    if mc.model in ("vbpr", "cer", "dpm"):
+        if not cfg.data.content_file:
+            raise SystemExit(f"--content is required for {mc.model}")
+        model.load_content_data(
+            os.path.join(cfg.data.data_dir, cfg.data.content_file),
+            os.path.join(cfg.data.data_dir, cfg.data.iid_file),
+        )
+    save_dir = cfg.out_dir if cfg.save_lag else None
+    with profile_trace(cfg.profile_dir):
+        if mc.model in ("bpr", "vbpr"):
+            model.train(
+                epochs=cfg.epochs,
+                batch_size=cfg.batch_size,
+                epoch_sample_limit=cfg.epoch_sample_limit,
+                model_path=cfg.warm_start,
+            )
+        elif mc.model == "dpm":
+            from .models import MLPEncoder, SDAEEncoder
+
+            enc_cls = {"mlp": MLPEncoder, "sdae": SDAEEncoder}.get(cfg.encoder)
+            if enc_cls is None:
+                raise SystemExit(f"unknown encoder {cfg.encoder!r}")
+            enc = enc_cls(
+                mc.k, model.d, hidden_layers=tuple(cfg.encoder_hidden),
+                seed=mc.seed, mesh=mesh,
+            )
+            model.train(
+                enc, max_iter=cfg.max_iter, model_path=cfg.warm_start,
+                log_dir=cfg.log_dir, save_lag=cfg.save_lag,
+                save_dir=save_dir,
+            )
+        else:
+            model.train(
+                max_iter=cfg.max_iter, tol=cfg.tol,
+                model_path=cfg.warm_start, log_dir=cfg.log_dir,
+                save_lag=cfg.save_lag, save_dir=save_dir,
+            )
+    model.export_embeddings(cfg.out_dir)
+    tprint(f"Exported embeddings to {cfg.out_dir}")
+    return model
+
+
+def cmd_train(args) -> int:
+    cfg = TrainConfig(
+        data=DataConfig(
+            data_dir=args.data,
+            fold=args.fold,
+            content_file=args.content,
+        ),
+        model=ModelConfig(
+            model=args.model_name, k=args.k, d=args.d,
+            lambda_u=args.lambda_u, lambda_i=args.lambda_i,
+            lambda_j=args.lambda_j, lambda_b=args.lambda_b,
+            lambda_e=args.lambda_e, lr=args.lr, mode=args.mode,
+            als_lu=args.als_lu,
+            als_lv=args.als_lv_wmf if args.model_name == "wmf" else args.als_lv,
+            als_le=args.als_le, als_a=args.als_a, als_b=args.als_b,
             seed=args.seed,
-        )
-        model.train(
-            enc, max_iter=args.max_iter, model_path=args.warm_start,
-            log_dir=args.log_dir,
-        )
-    else:
-        model.train(
-            max_iter=args.max_iter, tol=args.tol,
-            model_path=args.warm_start, log_dir=args.log_dir,
-        )
-    model.export_embeddings(args.out)
-    tprint(f"Exported embeddings to {args.out}")
+        ),
+        out_dir=args.out,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        epoch_sample_limit=args.epoch_sample_limit,
+        max_iter=args.max_iter,
+        tol=args.tol,
+        warm_start=args.warm_start,
+        encoder=args.encoder,
+        encoder_hidden=list(args.encoder_hidden),
+        log_dir=args.log_dir,
+        profile_dir=args.profile_dir,
+        save_lag=args.save_lag,
+    )
+    train_from_config(cfg)
     return 0
 
 
@@ -178,6 +233,24 @@ def cmd_fuse(args) -> int:
     if args.strategy == "average":
         weights = average_weights(F)
     elif args.strategy == "rank":
+        if args.p_sweep:
+            # reference pfusion sweeps p in {0.1..0.9} and reports each
+            # (ref old/methods/pfusion.py:113)
+            for p_val in [round(0.1 * i, 1) for i in range(1, 10)]:
+                weights = rank_geometric_weights(F, p_val)
+                for scenario in args.scenarios:
+                    cand_ids, likes = _scenario_inputs(
+                        args.data, args.fold, scenario, uids, iids
+                    )
+                    res = evaluate_fused(
+                        modalities, weights, inter.seen_bitmap, cand_ids,
+                        likes, step=args.step, total=args.total,
+                    )
+                    line = f"rank-p{p_val}-{scenario}" + "".join(
+                        ",%.6f" % a for a in res.accuracy
+                    )
+                    print(line)
+            return 0
         weights = rank_geometric_weights(F, args.p)
     elif args.strategy == "error":
         tr_cand = np.arange(inter.n_items)
@@ -215,11 +288,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe = sub.add_parser("evaluate", help="evaluate exported .dat embeddings")
     pe.add_argument("-d", "--data", required=True)
     pe.add_argument("-m", "--model", required=True)
-    pe.add_argument("-f", "--fold", type=int, default=0)
-    pe.add_argument("-s", "--step", type=int, default=5)
-    pe.add_argument("-t", "--total", type=int, default=30)
-    pe.add_argument("-sl", "--scenarios", nargs="+", default=["im", "om"])
-    pe.add_argument("--user-chunk", type=int, default=8192)
+    pe.add_argument("-f", "--fold", type=int, default=_EC.fold)
+    pe.add_argument("-s", "--step", type=int, default=_EC.step)
+    pe.add_argument("-t", "--total", type=int, default=_EC.total)
+    pe.add_argument("-sl", "--scenarios", nargs="+", default=_EC.scenarios)
+    pe.add_argument("--user-chunk", type=int, default=_EC.user_chunk)
     pe.set_defaults(func=cmd_evaluate)
 
     pt = sub.add_parser("train", help="train a model and export embeddings")
@@ -229,32 +302,43 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("-o", "--out", required=True)
     pt.add_argument("-f", "--fold", type=int, default=0)
     pt.add_argument("--content", default=None, help="content pickle filename")
-    pt.add_argument("--k", type=int, default=50)
-    pt.add_argument("--d", type=int, default=20000)
-    pt.add_argument("--epochs", type=int, default=5)
-    pt.add_argument("--batch-size", type=int, default=256)
-    pt.add_argument("--epoch-sample-limit", type=int, default=None)
-    pt.add_argument("--max-iter", type=int, default=200)
-    pt.add_argument("--tol", type=float, default=1e-4)
-    pt.add_argument("--lr", type=float, default=1e-4)
-    pt.add_argument("--mode", default="l2", choices=["l2", "l1"])
-    pt.add_argument("--lambda-u", type=float, default=2.5e-3)
-    pt.add_argument("--lambda-i", type=float, default=2.5e-3)
-    pt.add_argument("--lambda-j", type=float, default=2.5e-4)
-    pt.add_argument("--lambda-b", type=float, default=0.0)
-    pt.add_argument("--lambda-e", type=float, default=0.0)
-    pt.add_argument("--als-lu", type=float, default=0.01)
-    pt.add_argument("--als-lv", type=float, default=10.0)
-    pt.add_argument("--als-lv-wmf", type=float, default=0.01)
-    pt.add_argument("--als-le", type=float, default=10e3)
-    pt.add_argument("--als-a", type=float, default=1.0)
-    pt.add_argument("--als-b", type=float, default=0.01)
-    pt.add_argument("--seed", type=int, default=0)
-    pt.add_argument("--warm-start", default=None)
-    pt.add_argument("--log-dir", default=None,
+    pt.add_argument("--k", type=int, default=_MC.k)
+    pt.add_argument("--d", type=int, default=_MC.d)
+    pt.add_argument("--epochs", type=int, default=_TC.epochs)
+    pt.add_argument("--batch-size", type=int, default=_TC.batch_size)
+    pt.add_argument("--epoch-sample-limit", type=int,
+                    default=_TC.epoch_sample_limit)
+    pt.add_argument("--max-iter", type=int, default=_TC.max_iter)
+    pt.add_argument("--tol", type=float, default=_TC.tol)
+    pt.add_argument("--lr", type=float, default=_MC.lr)
+    pt.add_argument("--mode", default=_MC.mode, choices=["l2", "l1"])
+    pt.add_argument("--lambda-u", type=float, default=_MC.lambda_u)
+    pt.add_argument("--lambda-i", type=float, default=_MC.lambda_i)
+    pt.add_argument("--lambda-j", type=float, default=_MC.lambda_j)
+    pt.add_argument("--lambda-b", type=float, default=_MC.lambda_b)
+    pt.add_argument("--lambda-e", type=float, default=_MC.lambda_e)
+    pt.add_argument("--als-lu", type=float, default=_MC.als_lu)
+    pt.add_argument("--als-lv", type=float, default=_MC.als_lv)
+    pt.add_argument("--als-lv-wmf", type=float, default=0.01,
+                    help="WMF uses lv=0.01 (ref wmf.py:11) vs CER/DPM's 10")
+    pt.add_argument("--als-le", type=float, default=_MC.als_le)
+    pt.add_argument("--als-a", type=float, default=_MC.als_a)
+    pt.add_argument("--als-b", type=float, default=_MC.als_b)
+    pt.add_argument("--seed", type=int, default=_MC.seed)
+    pt.add_argument("--warm-start", default=_TC.warm_start)
+    pt.add_argument("--log-dir", default=_TC.log_dir,
                     help="write state.log/settings.txt here (ALS models)")
+    pt.add_argument("--profile-dir", default=_TC.profile_dir,
+                    help="capture a jax.profiler trace of training here")
+    pt.add_argument("--save-lag", type=int, default=_TC.save_lag,
+                    help="dump %%04d-U/V.dat into -o every N ALS iterations "
+                         "(reference cr --save_lag)")
+    pt.add_argument("--encoder", default=_TC.encoder,
+                    choices=["mlp", "sdae"],
+                    help="DPM content encoder (sdae = CDL-style with "
+                         "layer-wise denoising pretraining)")
     pt.add_argument("--encoder-hidden", type=int, nargs="+",
-                    default=[2000, 1000])
+                    default=_TC.encoder_hidden)
     pt.set_defaults(func=cmd_train)
 
     pf = sub.add_parser("fuse", help="late-fuse several model dirs")
@@ -267,6 +351,9 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("-t", "--total", type=int, default=30)
     pf.add_argument("-sl", "--scenarios", nargs="+", default=["im", "om"])
     pf.add_argument("--p", type=float, default=0.5, help="rank-fusion p")
+    pf.add_argument("--p-sweep", action="store_true",
+                    help="rank strategy: evaluate p in {0.1..0.9}, one CSV "
+                         "line each (reference pfusion.py:113)")
     pf.add_argument("--n-samples", type=int, default=100_000)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(func=cmd_fuse)

@@ -59,7 +59,11 @@ class TrainConfig:
     max_iter: int = 200         # ALS models
     tol: float = 1e-4
     warm_start: Optional[str] = None
+    encoder: str = "mlp"        # mlp | sdae (DPM content encoder)
     encoder_hidden: List[int] = field(default_factory=lambda: [2000, 1000])
+    log_dir: Optional[str] = None      # state.log / settings.txt (ALS)
+    profile_dir: Optional[str] = None  # jax.profiler trace destination
+    save_lag: Optional[int] = None     # %04d-U/V.dat checkpoint cadence
 
 
 @dataclass

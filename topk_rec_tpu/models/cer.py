@@ -134,9 +134,12 @@ class CER(WMF):
         model_path: Optional[str] = None,
         verbose: bool = True,
         log_dir: Optional[str] = None,
+        save_lag: Optional[int] = None,
+        save_dir: Optional[str] = None,
     ) -> None:
         """ALS ⇄ ridge-E alternation with cold-start writeback
-        (ref cer.py:24-73)."""
+        (ref cer.py:24-73). ``save_lag``/``save_dir``: numbered
+        %04d-U/V.dat checkpoints (ref cr.cpp:284-295)."""
         from ..utils.statelog import StateLog
 
         assert self.inter is not None and self.feat is not None
@@ -194,6 +197,8 @@ class CER(WMF):
             )
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
+            if save_lag and save_dir and it % save_lag == 0:
+                self._save_lag_dump(save_dir, it)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, time %.2fs"

@@ -56,6 +56,8 @@ class DPM(WMF):
         verbose: bool = True,
         log_dir: Optional[str] = None,
         pretrain: bool = True,
+        save_lag: Optional[int] = None,
+        save_dir: Optional[str] = None,
     ) -> None:
         from ..utils.statelog import StateLog
 
@@ -124,6 +126,8 @@ class DPM(WMF):
             )
             prev_loss = loss
             slog.append(it, loss, cond)
+            if save_lag and save_dir and it % save_lag == 0:
+                self._save_lag_dump(save_dir, it)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, time %.2fs"

@@ -101,6 +101,15 @@ class WMF(Recommender):
         )
         return fit
 
+    def _save_lag_dump(self, save_dir: str, it: int) -> None:
+        """Numbered intermediate checkpoints, reference cr format
+        (``%04d-U.dat`` / ``%04d-V.dat``, old/cr/cr.cpp:284-295)."""
+        from ..data.io import write_dat
+
+        os.makedirs(save_dir, exist_ok=True)
+        write_dat(os.path.join(save_dir, "%04d-U.dat" % it), self.fue)
+        write_dat(os.path.join(save_dir, "%04d-V.dat" % it), self.fie)
+
     def _loss_reg(self) -> float:
         """0.5·lu·‖U‖² + 0.5·lv·‖V‖² (ref wmf.py:81,97)."""
         return 0.5 * self.lu * float(np.sum(self.fue**2)) + 0.5 * self.lv * float(
@@ -114,11 +123,16 @@ class WMF(Recommender):
         model_path: Optional[str] = None,
         verbose: bool = True,
         log_dir: Optional[str] = None,
+        save_lag: Optional[int] = None,
+        save_dir: Optional[str] = None,
     ) -> None:
         """ALS loop with relative-loss convergence (ref wmf.py:61-101).
 
         ``log_dir`` writes state.log / settings.txt (reference cr solver
-        observability, cr.cpp:91-93).
+        observability, cr.cpp:91-93). ``save_lag`` dumps numbered
+        ``%04d-U/V.dat`` checkpoints into ``save_dir`` every that many
+        iterations (reference cr --save_lag, old/cr/main.cpp:28,
+        cr.cpp:284-295).
         """
         from ..utils.statelog import StateLog
 
@@ -145,6 +159,8 @@ class WMF(Recommender):
             loss_old, loss = loss, fit + self._loss_reg()
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
+            if save_lag and save_dir and it % save_lag == 0:
+                self._save_lag_dump(save_dir, it)
             if verbose:
                 tprint(
                     "Iter %3d, loss %.6f, converge %.6f, time %.2fs"
