@@ -27,21 +27,26 @@ import numpy as np
 
 REFERENCE_CPU_SAMPLES_PER_SEC = 18778.0  # benchmarks/reference_baseline.py
 
-# TPU v5e peak: 197 TFLOP/s bf16 (public spec); the scoring matmul is
-# 2*U*I*d flops. The kernel's top-k selection adds ~8*k*U*I VPU ops on top
-# (ops/topk_pallas.py docstring) which the MXU roofline ignores, so
-# roofline_mxu_pct understates true kernel efficiency — it is the honest
-# "fraction of speed-of-light if selection were free" number.
+# TPU v5e peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM. The fused
+# kernel never materializes the score matrix, so its memory/compute
+# speed-of-light is tiny: 2*U*I*d matmul flops (0.37 ms) and ~1B*U*I mask
+# bytes + embedding reads (~0.9 ms HBM). The measured gap above that SOL
+# is the VPU-bound top-k selection (no sort unit on TPU; see BASELINE.md
+# "speed-of-light" section for the full derivation and kernel history).
 V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
 
 
-def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=8):
-    """Fused scoring+top-k throughput at the MovieLens serving shape.
+def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=16):
+    """Exact scoring+top-k throughput at the MovieLens serving shape.
 
-    Returns (pairs_per_sec, mxu_roofline_pct, xla_pairs_per_sec).
-    Timing forces a scalar host fetch per iteration (block_until_ready
-    undercounts behind the axon tunnel; fetching full results would be
-    tunnel-bound at ~150MB/s — see CLAUDE.md).
+    Returns (pairs_per_sec, roofline_pct, extras dict). Headline kernel
+    is the fused Pallas score+mask+top-k kernel (ops/topk_pallas.py,
+    exact incl. the in-jit suspect fallback); full XLA lax.top_k is timed
+    as the unfused diagnostic. Timing dispatches all iterations
+    asynchronously and synchronizes once (block_until_ready undercounts
+    behind the axon tunnel and per-iter scalar fetches would add a tunnel
+    RTT each — see CLAUDE.md).
     """
     import jax
     import jax.numpy as jnp
@@ -61,29 +66,31 @@ def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=8):
         ).astype(jnp.int8)
     )(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def run_pallas(U, V, b, mask):
-        vals, idx = fused_score_topk(
-            U, V, b, mask, k, exact_matmul=False
-        )
-        return jnp.sum(vals) + jnp.sum(idx)
-
-    @jax.jit
-    def run_xla(U, V, b, mask):
+    def scored(U, V, b, mask):
         scores = jnp.dot(
             U, V.T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         ) + b[None, :]
-        scores = jnp.where(mask != 0, -jnp.inf, scores)
-        vals, idx = jax.lax.top_k(scores, k)
+        return jnp.where(mask != 0, -jnp.inf, scores)
+
+    @jax.jit
+    def run_xla(U, V, b, mask):
+        vals, idx = jax.lax.top_k(scored(U, V, b, mask), k)
+        return jnp.sum(vals) + jnp.sum(idx)
+
+    @jax.jit
+    def run_pallas(U, V, b, mask):
+        vals, idx = fused_score_topk(U, V, b, mask, k, exact_matmul=False)
         return jnp.sum(vals) + jnp.sum(idx)
 
     def timeit(fn):
         float(fn(U, V, b, mask))  # compile + warm
         t0 = time.time()
-        acc = 0.0
-        for _ in range(iters):
-            acc += float(fn(U, V, b, mask))
+        # dispatch all iterations asynchronously; the single scalar fetch
+        # at the end synchronizes the chain (one tunnel RTT amortized over
+        # all iterations instead of one per iteration)
+        outs = [fn(U, V, b, mask) for _ in range(iters)]
+        acc = float(sum(outs))
         dt = (time.time() - t0) / iters
         assert np.isfinite(acc)
         return dt
@@ -92,10 +99,20 @@ def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=8):
     dt_xla = timeit(run_xla)
     pairs = n_users * n_items
     t_mxu = 2.0 * pairs * d / V5E_BF16_FLOPS
+    # fused kernel HBM bytes: int8 mask read + the (tiny) embedding reads;
+    # the score matrix never leaves VMEM
+    t_hbm = (
+        pairs * 1.0 + 4.0 * (n_users + n_items) * d
+    ) / V5E_HBM_BYTES_PER_SEC
+    t_sol = max(t_mxu, t_hbm)
     return (
         pairs / dt_pallas,
-        100.0 * t_mxu / dt_pallas,
-        pairs / dt_xla,
+        100.0 * t_sol / dt_pallas,
+        {
+            "xla_topk_pairs_per_sec": pairs / dt_xla,
+            "sol_ms": t_sol * 1e3,
+            "pallas_ms": dt_pallas * 1e3,
+        },
     )
 
 
@@ -167,16 +184,18 @@ def main() -> None:
     # the headline contract
     scoring = None
     try:
-        pal_pps, mxu_pct, xla_pps = bench_scoring()
+        pps, sol_pct, extras = bench_scoring()
         scoring = {
-            "pairs_per_sec_per_chip": round(pal_pps, 1),
-            "roofline_mxu_pct": round(mxu_pct, 1),
-            "kernel": "pallas_fused(bf16,k=30)",
+            "pairs_per_sec_per_chip": round(pps, 1),
+            "roofline_pct": round(sol_pct, 1),
+            "kernel": "pallas_fused_exact(bf16,k=30)",
             "shape": "69878x10380xd50",
         }
         print(
-            f"extra: scoring pallas {pal_pps:,.0f} pairs/s "
-            f"({mxu_pct:.1f}% of MXU roofline), xla {xla_pps:,.0f} pairs/s",
+            f"extra: scoring pallas fused {pps:,.0f} pairs/s "
+            f"({sol_pct:.1f}% of HBM+MXU speed-of-light, "
+            f"{extras['pallas_ms']:.2f}ms vs SOL {extras['sol_ms']:.2f}ms); "
+            f"xla top_k {extras['xla_topk_pairs_per_sec']:,.0f} pairs/s",
             file=sys.stderr,
         )
     except Exception as e:

@@ -68,3 +68,41 @@ def test_mask_roundtrip():
     packed = pack_candidate_bitmap(bm, cand)
     expanded = np.asarray(expand_seen_mask(jnp.asarray(packed), 37))
     np.testing.assert_array_equal(expanded, dense[:, cand].astype(np.int8))
+
+
+def test_fused_adversarial_group_collision():
+    """Three of the top-k inside ONE lane-strided group: top-2 visibility
+    misses the third, the m3 suspect detector must fire and the in-jit
+    exact fallback must repair the row to lax.top_k's answer."""
+    n_i, k = 384, 4  # one tile, C=3 chunks -> groups of 3
+    d = 1
+    U = np.ones((8, d), np.float32)
+    V = np.full((n_i, d), -5.0, np.float32)
+    # group j=5 = lanes {5, 133, 261}: all three carry top scores
+    V[5, 0], V[133, 0], V[261, 0] = 100.0, 99.0, 98.0
+    V[7, 0] = 50.0  # 4th best lives elsewhere
+    mask = np.zeros((8, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=8, block_i=384, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    assert list(np.asarray(idx)[0]) == [5, 133, 261, 7]
+
+
+def test_fused_all_ties_full_fallback():
+    """Fully tied scores trigger the >= suspect condition on every row;
+    the overflow path must fall back to full lax.top_k (identical order)."""
+    n_u, n_i, k = 16, 384, 6
+    U = np.ones((n_u, 2), np.float32)
+    V = np.ones((n_i, 2), np.float32)
+    mask = np.zeros((n_u, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=8, block_i=384, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
