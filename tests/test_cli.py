@@ -206,3 +206,30 @@ def test_train_dpm_sdae_encoder(fold_dir, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "final-V.dat"))
+
+
+def test_train_with_mesh(fold_dir, tmp_path, capsys):
+    """--mesh routes BPR through the distributed trainer and WMF/CER
+    through the mesh-sharded ALS; exported embeddings evaluate cleanly."""
+    for name, extra in [
+        ("bpr", ["--epochs", "2", "--batch-size", "128", "--lr", "0.05"]),
+        ("wmf", ["--max-iter", "3"]),
+    ]:
+        out = str(tmp_path / f"mesh_{name}")
+        rc = main([
+            "train", "--model", name, "-d", str(fold_dir), "-o", out,
+            "--k", "8", "--mesh", "4x2", *extra,
+        ])
+        assert rc == 0
+        rc = main([
+            "evaluate", "-d", str(fold_dir), "-m", out, "-f", "0",
+            "-sl", "im",
+        ])
+        assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("im,")
+    ]
+    assert len(lines) == 2
+    for line in lines:
+        vals = [float(x) for x in line.split(",")[1:]]
+        assert all(0.0 <= v <= 1.0 for v in vals) and vals == sorted(vals)

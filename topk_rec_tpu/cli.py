@@ -121,6 +121,53 @@ def build_model(mc: ModelConfig, mesh=None):
     raise SystemExit(f"unknown model {name!r}")
 
 
+def _parse_mesh(spec: str):
+    """Build a device mesh from a CLI spec: "auto" or "DPxMP" (e.g. 2x4)."""
+    from .parallel import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    dp, _, mp = spec.partition("x")
+    return make_mesh(dp=int(dp), mp=int(mp))
+
+
+def _train_pairwise_distributed(model, mesh, cfg: TrainConfig):
+    """Epoch loop for BPR/VBPR over a mesh via the distributed trainers
+    (tables row-sharded over "mp", batches over "dp")."""
+    import time
+
+    import jax
+
+    from .parallel import DistributedBPRTrainer, DistributedVBPRTrainer
+
+    if cfg.warm_start is not None:
+        tprint("Initialize weights with the previous trained model")
+        model.import_embeddings(cfg.warm_start)
+    limit = cfg.epoch_sample_limit or model.inter.nnz
+    batch_limit = int(limit) // cfg.batch_size + 1
+    scan_steps = min(64, batch_limit)
+    n_chunks = max(1, -(-batch_limit // scan_steps))
+    cls = (
+        DistributedVBPRTrainer
+        if type(model).__name__ == "VBPR"
+        else DistributedBPRTrainer
+    )
+    trainer = cls(model, mesh, batch_size=cfg.batch_size, scan_steps=scan_steps)
+    key = jax.random.PRNGKey(model.seed)
+    for eid in range(cfg.epochs):
+        t0 = time.time()
+        total = 0.0
+        for _ in range(n_chunks):
+            key, sub = jax.random.split(key)
+            total += trainer.train_chunk(sub)
+        tprint(
+            "Epoch %3d, loss %.4f, time %.3fs (mesh %s)"
+            % (eid + 1, total, time.time() - t0,
+               dict(zip(mesh.axis_names, mesh.devices.shape)))
+        )
+    trainer.sync_to_model()
+
+
 def train_from_config(cfg: TrainConfig, mesh=None):
     """Library-level training driver over the typed config (used by the
     CLI and scripts; replaces the reference's edit-the-script train.py).
@@ -144,12 +191,15 @@ def train_from_config(cfg: TrainConfig, mesh=None):
     save_dir = cfg.out_dir if cfg.save_lag else None
     with profile_trace(cfg.profile_dir):
         if mc.model in ("bpr", "vbpr"):
-            model.train(
-                epochs=cfg.epochs,
-                batch_size=cfg.batch_size,
-                epoch_sample_limit=cfg.epoch_sample_limit,
-                model_path=cfg.warm_start,
-            )
+            if mesh is not None:
+                _train_pairwise_distributed(model, mesh, cfg)
+            else:
+                model.train(
+                    epochs=cfg.epochs,
+                    batch_size=cfg.batch_size,
+                    epoch_sample_limit=cfg.epoch_sample_limit,
+                    model_path=cfg.warm_start,
+                )
         elif mc.model == "dpm":
             from .models import MLPEncoder, SDAEEncoder
 
@@ -206,7 +256,13 @@ def cmd_train(args) -> int:
         profile_dir=args.profile_dir,
         save_lag=args.save_lag,
     )
-    train_from_config(cfg)
+    if args.coordinator or os.environ.get("TKR_COORDINATOR"):
+        # multi-host: join the coordination service before any backend use
+        from .parallel import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
+    train_from_config(cfg, mesh=mesh)
     return 0
 
 
@@ -339,6 +395,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "layer-wise denoising pretraining)")
     pt.add_argument("--encoder-hidden", type=int, nargs="+",
                     default=_TC.encoder_hidden)
+    pt.add_argument("--mesh", default=None,
+                    help='device mesh for distributed training: "auto" '
+                         '(all devices) or "DPxMP" (e.g. 2x4); tables '
+                         'row-shard over mp, batches over dp')
+    pt.add_argument("--coordinator", default=None,
+                    help="multi-host: coordination service address "
+                         "host:port (jax.distributed)")
+    pt.add_argument("--num-processes", type=int, default=None)
+    pt.add_argument("--process-id", type=int, default=None)
     pt.set_defaults(func=cmd_train)
 
     pf = sub.add_parser("fuse", help="late-fuse several model dirs")

@@ -62,6 +62,10 @@ class DistributedALS:
             # [block, k] solution): pin entity rows across the mesh
             return jax.lax.with_sharding_constraint(x, row_shard)
 
+        # out sharding for the [n_this, k] result is left to GSPMD:
+        # n_this need not divide the device count (explicit row sharding
+        # would reject e.g. 60 users on 8 devices); the per-block
+        # constraints above still shard all the compute.
         fn = jax.jit(
             partial(
                 _sweep_impl,
@@ -71,7 +75,7 @@ class DistributedALS:
                 keep_old_unrated=keep_old_unrated,
                 constrain=constrain,
             ),
-            out_shardings=(row_shard, repl),
+            out_shardings=(None, repl),
         )
         self._fn_cache[key] = fn
         return fn

@@ -49,6 +49,15 @@ class _DistributedPairwiseTrainer:
         scan_steps: int = 8,
     ):
         assert model.inter is not None, "load data before distributing"
+        mp = int(np.prod([
+            s for s, n in zip(mesh.devices.shape, mesh.axis_names)
+            if n == "mp"
+        ]))
+        assert model.inter.n_users % mp == 0 and model.inter.n_items % mp == 0, (
+            f"user/item counts ({model.inter.n_users}/{model.inter.n_items}) "
+            f"must divide the model axis ({mp}) — pad the tables or pick a "
+            "different mesh (jit out-shardings require even row shards)"
+        )
         self.model = model
         self.mesh = mesh
         self.batch_size = batch_size
