@@ -59,7 +59,15 @@ def _chunk_impl(
       planned for ALL steps in one vmapped pass up front — the scan body
       carries no sorts (ops/sparse_update.plan_sparse_updates);
     * the item bias lives as an extra column of the item table inside the
-      chunk, so each step updates two tables, not three.
+      chunk, so each step updates two tables, not three. The user and
+      item tables stay SEPARATE on purpose: fusing them into one
+      [n_users+n_items, k+1] table (one gather/segment-sum/scatter per
+      step) measured 1.89M samples/s vs 2.74M at the batch-256 parity
+      config on v5e — the two tables' update chains are independent
+      subgraphs that XLA overlaps, and fusing them serializes the
+      critical path. (At batch 8192 the fused layout wins mildly,
+      4.06M vs 3.59M — bandwidth-bound there — but the parity config is
+      the headline.)
 
     ``constrain_batch`` / ``constrain_table`` are optional sharding hooks:
     a mesh caller (parallel/train_step.py) pins the per-step batch arrays
