@@ -142,3 +142,21 @@ def test_pallas_eval_path_matches_xla():
     )
     np.testing.assert_array_equal(pallas.hits, xla.hits)
     assert pallas.count == xla.count
+
+
+def test_want_rr_false_skips_rr_but_keeps_hits():
+    rng = np.random.default_rng(7)
+    U = rng.normal(size=(12, 4)).astype(np.float32)
+    V_cand = rng.normal(size=(20, 4)).astype(np.float32)
+    seen_bm = np.zeros((12, 1), dtype=np.uint32)
+    cand_ids = np.arange(20)
+    likes = {u: [u % 20] for u in range(12)}
+    full = evaluate_scores_device(
+        U, V_cand, None, seen_bm, cand_ids, likes
+    )
+    no_rr = evaluate_scores_device(
+        U, V_cand, None, seen_bm, cand_ids, likes, want_rr=False
+    )
+    np.testing.assert_array_equal(no_rr.hits, full.hits)
+    assert no_rr.count == full.count
+    assert np.all(no_rr.rr == 0.0) and np.any(full.rr > 0.0)

@@ -74,6 +74,7 @@ def cmd_evaluate(args) -> int:
     ev = DeviceEvaluator(
         inter.seen_bitmap, step=args.step, total=args.total,
         user_chunk=args.user_chunk,
+        want_rr=False,  # CSV prints accuracy only (ref evaluate.py:113-117)
     )
     for scenario in args.scenarios:
         cand_ids, likes = _scenario_inputs(

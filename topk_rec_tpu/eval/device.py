@@ -273,18 +273,28 @@ def evaluate_scores_device(
     total: int = 30,
     user_chunk: int = 8192,
     use_pallas: bool = False,
+    want_rr: bool = True,
 ) -> EvalResult:
     """End-to-end device evaluation equivalent to ``evaluate_oracle``.
 
     Scoring + seen-masking + top-``total`` run jit-compiled on device;
     bucketed hit counting is a vectorized bitmap pass on host.
     ``use_pallas`` routes through the fused single-kernel scoring+top-k
-    path (ops/topk_pallas.py).
+    path (ops/topk_pallas.py). ``want_rr=False`` skips the raw-rank
+    reconstruction pass (a per-row sort — the accuracy-only CLI path
+    doesn't pay for a metric it never prints; rr comes back as zeros).
     """
-    vals, idx, seen_above = topk_unseen(
-        U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk,
-        use_pallas, want_raw_rank=True,
-    )
+    if want_rr:
+        vals, idx, seen_above = topk_unseen(
+            U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk,
+            use_pallas, want_raw_rank=True,
+        )
+    else:
+        vals, idx = topk_unseen(
+            U, V_cand, bias, seen_bitmap, cand_item_ids, total, user_chunk,
+            use_pallas,
+        )
+        seen_above = None
     return _count_hits(
         idx, vals, seen_above, likes, V_cand.shape[0], step, total
     )
@@ -304,12 +314,14 @@ class DeviceEvaluator:
         total: int = 30,
         user_chunk: int = 8192,
         use_pallas: bool = False,
+        want_rr: bool = True,
     ):
         self.seen_bitmap = seen_bitmap
         self.step = step
         self.total = total
         self.user_chunk = user_chunk
         self.use_pallas = use_pallas
+        self.want_rr = want_rr
 
     def evaluate(
         self,
@@ -333,4 +345,5 @@ class DeviceEvaluator:
             self.total,
             self.user_chunk,
             self.use_pallas,
+            self.want_rr,
         )
