@@ -28,6 +28,26 @@ if os.environ.get("TKR_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["TKR_PLATFORM"])
 
+# persistent XLA compile cache: repeat CLI invocations skip recompiles
+# (first compiles behind the axon tunnel take tens of seconds per shape)
+try:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "TKR_JAX_CACHE",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".cache",
+                "jax",
+            ),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
+
 import numpy as np
 
 from .config import DataConfig, EvalConfig, ModelConfig, TrainConfig

@@ -69,7 +69,10 @@ def _seen_above_from_scores(
 
 @partial(jax.jit, static_argnames=("n_cand",))
 def _raw_rank_scores(u_emb, v_cand, bias, packed_seen, idx, n_cand):
-    scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
+    scores = jnp.dot(
+        u_emb, v_cand.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if bias is not None:
         scores = scores + bias[None, :]
     return _seen_above_from_scores(scores, packed_seen, idx, n_cand)
@@ -84,7 +87,15 @@ def _score_topk_chunk(
     n_cand: int,
     k: int,
 ):
-    scores = jnp.dot(u_emb, v_cand.T, preferred_element_type=jnp.float32)
+    # full-fp32 matmul: the protocol path ranks by exact scores. TPU's
+    # DEFAULT precision is bf16 multiplies, which flips near-tied
+    # rankings at catalog scale (caught by the full-scale byte-identity
+    # bench, benchmarks/eval_e2e.py) — the serving path may trade this
+    # off (serving.py), the eval path must not.
+    scores = jnp.dot(
+        u_emb, v_cand.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if bias is not None:
         scores = scores + bias[None, :]
     return _mask_topk(scores, packed_seen, n_cand, k)
@@ -300,6 +311,108 @@ def evaluate_scores_device(
     )
 
 
+def _notcand_words(n_items: int, cand_item_ids: np.ndarray) -> np.ndarray:
+    """uint32 [ceil(n_items/32)] bitmap with 1 for NON-candidate items."""
+    n_words = (n_items + 31) // 32
+    bits = np.ones(n_words * 32, dtype=np.uint8)
+    bits[np.asarray(cand_item_ids, dtype=np.int64)] = 0
+    return np.ascontiguousarray(
+        np.packbits(bits, bitorder="little")
+    ).view("<u4")
+
+
+def evaluate_scores_device_full(
+    U: np.ndarray,
+    V: np.ndarray,                 # FULL catalog [n_items, dim]
+    bias: Optional[np.ndarray],
+    seen_bitmap: np.ndarray,       # full item space
+    cand_item_ids: np.ndarray,
+    likes: Dict[int, Sequence[int]],
+    step: int = 5,
+    total: int = 30,
+    user_chunk: int = 8192,
+    use_pallas: bool = False,
+    want_rr: bool = True,
+) -> EvalResult:
+    """Full-item-space evaluation: scores every item, excludes
+    seen-or-non-candidate via ONE dense bitmap — no candidate-space
+    bitmap repacking (the gather-heavy ``pack_candidate_bitmap`` costs
+    ~19 s at MovieLens scale; OR-ing two bitmaps costs milliseconds) and
+    no per-candidate gathers anywhere. Candidate scores are identical
+    dot products, so results match the candidate-submatrix formulation
+    exactly; returned global item indices translate to candidate
+    positions through a host lookup.
+    """
+    n_items = V.shape[0]
+    cand = np.asarray(cand_item_ids, dtype=np.int64)
+    k = min(total, len(cand))
+    notcand = _notcand_words(n_items, cand)
+    excl = seen_bitmap | notcand[None, :]
+    full_ids = np.arange(n_items, dtype=np.int64)
+    if want_rr:
+        # raw rank counts SEEN CANDIDATES ranked above (the reference
+        # walks the candidate list only, evaluate.py:95-97): that mask is
+        # seen AND candidate = seen AND NOT notcand
+        rr_bitmap = seen_bitmap & ~notcand[None, :]
+        vals, idx, seen_above = _topk_excl(
+            U, V, bias, excl, rr_bitmap, k, user_chunk, use_pallas,
+        )
+    else:
+        vals, idx = _topk_excl(
+            U, V, bias, excl, None, k, user_chunk, use_pallas,
+        )
+        seen_above = None
+    # global item index -> candidate position (invalid slots are masked
+    # by the -inf values in _count_hits)
+    inv = np.full(n_items, 0, dtype=np.int32)
+    inv[cand] = np.arange(len(cand), dtype=np.int32)
+    idx = inv[np.clip(idx, 0, n_items - 1)]
+    return _count_hits(idx, vals, seen_above, likes, len(cand), step, total)
+
+
+def _topk_excl(U, V, bias, excl_bitmap, rr_bitmap, k, user_chunk, use_pallas):
+    """Chunked device top-k with a precomputed full-space exclusion bitmap
+    (and optional raw-rank counting against ``rr_bitmap``)."""
+    n_users, n_items = U.shape[0], V.shape[0]
+    v_dev = jnp.asarray(V)
+    b_dev = jnp.asarray(bias).reshape(-1) if bias is not None else None
+    bm_dev = jnp.asarray(excl_bitmap)
+    rr_dev = jnp.asarray(rr_bitmap) if rr_bitmap is not None else None
+    out_vals = np.empty((n_users, k), dtype=np.float32)
+    out_idx = np.empty((n_users, k), dtype=np.int32)
+    out_sa = np.empty((n_users, k), dtype=np.int32) if rr_dev is not None else None
+    for start in range(0, n_users, user_chunk):
+        stop = min(start + user_chunk, n_users)
+        pad = user_chunk - (stop - start)
+        u_emb = U[start:stop]
+        excl_words = bm_dev[start:stop]
+        if pad:
+            u_emb = np.pad(u_emb, ((0, pad), (0, 0)))
+            excl_words = jnp.pad(excl_words, ((0, pad), (0, 0)))
+        u_dev = jnp.asarray(u_emb)
+        if use_pallas:
+            vals, idx = _pallas_chunk(
+                u_dev, v_dev, b_dev, excl_words, n_items, k
+            )
+        else:
+            vals, idx = _score_topk_chunk(
+                u_dev, v_dev, b_dev, excl_words, n_items, k
+            )
+        out_vals[start:stop] = np.asarray(vals)[: stop - start]
+        out_idx[start:stop] = np.asarray(idx)[: stop - start]
+        if rr_dev is not None:
+            rr_words = rr_dev[start:stop]
+            if pad:
+                rr_words = jnp.pad(rr_words, ((0, pad), (0, 0)))
+            sa = _raw_rank_scores(
+                u_dev, v_dev, b_dev, rr_words, idx, n_items
+            )
+            out_sa[start:stop] = np.asarray(sa)[: stop - start]
+    if rr_dev is not None:
+        return out_vals, out_idx, out_sa
+    return out_vals, out_idx
+
+
 class DeviceEvaluator:
     """Reusable evaluator bound to one fold's history and candidate lists.
 
@@ -332,12 +445,10 @@ class DeviceEvaluator:
         likes: Dict[int, Sequence[int]],
     ) -> EvalResult:
         cand_item_ids = np.asarray(cand_item_ids)
-        V_cand = V[cand_item_ids]
-        b_cand = bias.reshape(-1)[cand_item_ids] if bias is not None else None
-        return evaluate_scores_device(
+        return evaluate_scores_device_full(
             U,
-            V_cand,
-            b_cand,
+            V,
+            bias.reshape(-1) if bias is not None else None,
             self.seen_bitmap,
             cand_item_ids,
             likes,
