@@ -313,15 +313,24 @@ def cmd_fuse(args) -> int:
         if args.p_sweep:
             # reference pfusion sweeps p in {0.1..0.9} and reports each
             # (ref old/methods/pfusion.py:113)
+            from .ops.topk_pallas import pack_candidate_bitmap
+
+            # pack each scenario's seen bitmap ONCE across the 9 p values
+            scen_inputs = {}
+            for scenario in args.scenarios:
+                cand_ids, likes = _scenario_inputs(
+                    args.data, args.fold, scenario, uids, iids
+                )
+                packed = pack_candidate_bitmap(inter.seen_bitmap, cand_ids)
+                scen_inputs[scenario] = (cand_ids, likes, packed)
             for p_val in [round(0.1 * i, 1) for i in range(1, 10)]:
                 weights = rank_geometric_weights(F, p_val)
                 for scenario in args.scenarios:
-                    cand_ids, likes = _scenario_inputs(
-                        args.data, args.fold, scenario, uids, iids
-                    )
+                    cand_ids, likes, packed = scen_inputs[scenario]
                     res = evaluate_fused(
                         modalities, weights, inter.seen_bitmap, cand_ids,
                         likes, step=args.step, total=args.total,
+                        packed_seen=packed,
                     )
                     line = f"rank-p{p_val}-{scenario}" + "".join(
                         ",%.6f" % a for a in res.accuracy

@@ -194,6 +194,7 @@ def topk_unseen_scorer(
     cand_item_ids: np.ndarray,
     k: int,
     user_chunk: int = 8192,
+    packed_seen: Optional[np.ndarray] = None,
 ):
     """Top-k unseen candidates from an arbitrary chunk scorer.
 
@@ -206,7 +207,11 @@ def topk_unseen_scorer(
     from ..ops.topk_pallas import pack_candidate_bitmap
 
     k = min(k, n_cand)
-    packed = pack_candidate_bitmap(seen_bitmap, cand_item_ids)
+    packed = (
+        packed_seen
+        if packed_seen is not None
+        else pack_candidate_bitmap(seen_bitmap, cand_item_ids)
+    )
     bm_dev = jnp.asarray(packed)
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)

@@ -267,12 +267,15 @@ def evaluate_fused(
     step: int = 5,
     total: int = 30,
     user_chunk: int = 4096,
+    packed_seen: np.ndarray = None,
 ) -> EvalResult:
     """Evaluate the weighted fusion under the standard protocol.
 
     ``weights`` is [F] (global strategies) or [n_users, F] (per-user,
     error-weighted). Fusion happens on device per chunk; the stacked tensor
-    never materializes globally.
+    never materializes globally. ``packed_seen`` lets callers evaluating
+    several strategies on one (fold, scenario) pack the candidate-space
+    seen bitmap once (pack_candidate_bitmap) instead of per call.
     """
     weights = np.asarray(weights, dtype=np.float32)
     per_user = weights.ndim == 2
@@ -298,6 +301,7 @@ def evaluate_fused(
         cand_ids,
         total,
         user_chunk,
+        packed_seen=packed_seen,
     )
     return _count_hits(
         idx, vals, seen_above, likes, len(np.asarray(cand_ids)), step, total
