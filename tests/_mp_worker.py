@@ -66,6 +66,16 @@ def main() -> None:
         0.05,
     )
     assert np.isfinite(new_u).all()
+
+    # full mesh-routed WMF training across the two processes (the ALS
+    # model family on a multi-host mesh, ref old/cr/cr.cpp:146-216)
+    from topk_rec_tpu.models import WMF
+
+    wmf = WMF(k=6, seed=2, mesh=mesh, block_size=16)
+    wmf.set_interactions(inter)
+    wmf.train(max_iter=2, verbose=False)
+    assert np.isfinite(wmf.fue).all() and np.isfinite(wmf.fie).all()
+    wmf_sum = float(np.abs(wmf.fie).sum())
     # exercise fetch() on a deliberately cross-host-sharded array
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -78,7 +88,7 @@ def main() -> None:
     np.testing.assert_array_equal(back, np.arange(24.0).reshape(8, 3))
 
     print(
-        f"RESULT {pid} {loss:.6f} {ue_sum:.6f} {fit:.6f}",
+        f"RESULT {pid} {loss:.6f} {ue_sum:.6f} {fit:.6f} {wmf_sum:.6f}",
         flush=True,
     )
 
