@@ -38,7 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_SENTINEL = jnp.int32(2**31 - 1)
+# plain int (NOT a jnp constant: module-level jnp array creation
+# would initialize the XLA backend at import time and break
+# jax.distributed.initialize ordering in multi-process workers)
+_SENTINEL = 2**31 - 1
 
 
 def _dedup_sorted(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
