@@ -66,3 +66,25 @@ def test_from_model(small_inter):
     srv = TopKServer.from_model(model)
     vals, idx = srv.recommend(np.array([1, 2]), k=5)
     assert idx.shape == (2, 5)
+
+
+def test_distributed_serving_matches_local(small_inter):
+    """TopKServer(mesh=...): user table + seen bitmap row-sharded, user
+    rows fetched via the explicit all-to-all lookup — results must equal
+    the single-device server's."""
+    import numpy as np
+
+    from topk_rec_tpu.parallel import make_mesh
+    from topk_rec_tpu.serving import TopKServer
+
+    rng = np.random.default_rng(5)
+    U = rng.normal(size=(small_inter.n_users, 8)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, 8)).astype(np.float32)
+    b = rng.normal(size=small_inter.n_items).astype(np.float32)
+    local = TopKServer(U, V, b, small_inter)
+    dist = TopKServer(U, V, b, small_inter, mesh=make_mesh(dp=2, mp=4))
+    uids = rng.integers(0, small_inter.n_users, size=13).astype(np.int32)
+    lv, li = local.recommend(uids, k=9)
+    dv, di = dist.recommend(uids, k=9)
+    np.testing.assert_allclose(dv, lv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(di, li)

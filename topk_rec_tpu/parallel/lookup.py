@@ -85,10 +85,11 @@ def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
     my_shard = jax.lax.axis_index(axis)
     local = recv - my_shard * rows_per_shard
+    zero = jnp.zeros((), table_local.dtype)
     served = jnp.where(
         (recv != _SENTINEL)[..., None],
         table_local.at[jnp.clip(local, 0, rows_per_shard - 1)].get(),
-        0.0,
+        zero,
     )
     rows_back = jax.lax.all_to_all(served, axis, split_axis=0, concat_axis=0)
     # reconstruct per-unique rows, then expand to occurrences
@@ -98,7 +99,7 @@ def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
             jnp.minimum(owner, n_shards - 1),
             jnp.clip(pos_in_run, 0, capacity - 1),
         ],
-        0.0,
+        zero,
     )
     out = uniq_rows[seg]
     return (
@@ -117,8 +118,8 @@ def sharded_lookup(
     """Gather ``table[idx]`` via explicit deduplicated all-to-all exchange.
 
     Args:
-      table: [n_rows, k] float32, row-sharded (or shardable) over ``axis``;
-        n_rows must divide the axis size.
+      table: [n_rows, k] (any dtype), row-sharded (or shardable) over
+        ``axis``; n_rows must divide the axis size.
       idx: int32 [B] lookup indices, split over ``axis`` (B must divide).
       capacity: per-destination request slots per device; 0 picks
         ``2 * ceil(B_local / n_shards)`` (2x headroom over a uniform

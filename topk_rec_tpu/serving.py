@@ -66,6 +66,7 @@ class TopKServer:
         bias: Optional[np.ndarray] = None,
         interactions: Optional[Interactions] = None,
         exclude_seen: bool = True,
+        mesh=None,
     ):
         self.U = jnp.asarray(U, dtype=jnp.float32)
         self.V = jnp.asarray(V, dtype=jnp.float32)
@@ -80,6 +81,25 @@ class TopKServer:
             self.seen = jnp.asarray(interactions.seen_bitmap)
         else:
             self.seen = jnp.zeros((self.U.shape[0], n_words), jnp.uint32)
+        # distributed serving: the user table (the big one — 69878 rows at
+        # MovieLens scale, millions in production) and its seen bitmap live
+        # row-sharded across the mesh; per-query user rows are fetched via
+        # the explicit deduplicated all-to-all exchange (parallel/lookup.py)
+        # while the item table replicates (it is small and every shard
+        # scores against all items).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.lookup import sharded_lookup  # noqa: F401
+
+            self._mp = NamedSharding(mesh, P("mp", None))
+            self.U = jax.device_put(self.U, self._mp)
+            self.seen = jax.device_put(self.seen, self._mp)
+            repl = NamedSharding(mesh, P())
+            self.V = jax.device_put(self.V, repl)
+            if self.bias is not None:
+                self.bias = jax.device_put(self.bias, repl)
 
     @classmethod
     def from_model(cls, model, exclude_seen: bool = True) -> "TopKServer":
@@ -98,12 +118,29 @@ class TopKServer:
         Returns (scores [B, k], item_ids [B, k]); slots with score -inf
         mean the user has fewer than k unseen items.
         """
-        uid = jnp.asarray(np.asarray(user_ids, dtype=np.int32))
+        uid = np.asarray(user_ids, dtype=np.int32)
+        if self.mesh is not None:
+            from .parallel.distributed import fetch
+            from .parallel.lookup import sharded_lookup
+
+            n_shards = self.U.sharding.mesh.shape["mp"]
+            pad = (-len(uid)) % n_shards
+            uid_p = np.pad(uid, (0, pad))
+            u_rows, ovf_u = sharded_lookup(self.U, uid_p, self.mesh)
+            s_rows, ovf_s = sharded_lookup(self.seen, uid_p, self.mesh)
+            assert int(np.asarray(ovf_u).sum()) == 0, "lookup overflow"
+            assert int(np.asarray(ovf_s).sum()) == 0, "lookup overflow"
+            vals, idx = _query(
+                u_rows, self.V, self.bias, s_rows, k, method, self.n_items
+            )
+            n = len(uid)
+            return np.asarray(fetch(vals))[:n], np.asarray(fetch(idx))[:n]
+        uid_d = jnp.asarray(uid)
         vals, idx = _query(
-            self.U[uid],
+            self.U[uid_d],
             self.V,
             self.bias,
-            self.seen[uid],
+            self.seen[uid_d],
             k,
             method,
             self.n_items,
