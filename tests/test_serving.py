@@ -88,3 +88,21 @@ def test_distributed_serving_matches_local(small_inter):
     dv, di = dist.recommend(uids, k=9)
     np.testing.assert_allclose(dv, lv, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(di, li)
+
+
+def test_recommend_async_matches_sync(small_inter):
+    import numpy as np
+
+    from topk_rec_tpu.serving import TopKServer
+
+    rng = np.random.default_rng(9)
+    U = rng.normal(size=(small_inter.n_users, 6)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, 6)).astype(np.float32)
+    srv = TopKServer(U, V, None, small_inter)
+    uids = rng.integers(0, small_inter.n_users, size=16).astype(np.int32)
+    sv, si = srv.recommend(uids, k=7)
+    # dispatch several async batches, then fetch — results identical
+    futs = [srv.recommend_async(uids, k=7) for _ in range(3)]
+    for fv, fi in futs:
+        np.testing.assert_allclose(np.asarray(fv)[:16], sv, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(fi)[:16], si)

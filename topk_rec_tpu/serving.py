@@ -118,9 +118,27 @@ class TopKServer:
         Returns (scores [B, k], item_ids [B, k]); slots with score -inf
         mean the user has fewer than k unseen items.
         """
+        vals, idx = self.recommend_async(user_ids, k, method)
+        from .parallel.distributed import fetch
+
+        n = len(np.asarray(user_ids))
+        return np.asarray(fetch(vals))[:n], np.asarray(fetch(idx))[:n]
+
+    def recommend_async(
+        self,
+        user_ids: np.ndarray,
+        k: int = 30,
+        method: str = "exact",
+    ):
+        """Dispatch a query batch WITHOUT synchronizing; returns device
+        arrays. A server loop that dispatches many batches and fetches
+        results as they complete amortizes the host<->device round trip
+        across the queue instead of paying it per batch — measured 57-60ms
+        per *synchronous* batch through the axon tunnel vs sub-ms device
+        compute (BASELINE.md "Serving latency"). Slice results to the
+        request length (mesh-padded batches return padded rows)."""
         uid = np.asarray(user_ids, dtype=np.int32)
         if self.mesh is not None:
-            from .parallel.distributed import fetch
             from .parallel.lookup import sharded_lookup
 
             n_shards = self.U.sharding.mesh.shape["mp"]
@@ -130,13 +148,11 @@ class TopKServer:
             s_rows, ovf_s = sharded_lookup(self.seen, uid_p, self.mesh)
             assert int(np.asarray(ovf_u).sum()) == 0, "lookup overflow"
             assert int(np.asarray(ovf_s).sum()) == 0, "lookup overflow"
-            vals, idx = _query(
+            return _query(
                 u_rows, self.V, self.bias, s_rows, k, method, self.n_items
             )
-            n = len(uid)
-            return np.asarray(fetch(vals))[:n], np.asarray(fetch(idx))[:n]
         uid_d = jnp.asarray(uid)
-        vals, idx = _query(
+        return _query(
             self.U[uid_d],
             self.V,
             self.bias,
@@ -145,4 +161,3 @@ class TopKServer:
             method,
             self.n_items,
         )
-        return np.asarray(vals), np.asarray(idx)
