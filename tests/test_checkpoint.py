@@ -67,3 +67,62 @@ def test_restore_sharded(tree, tmp_path):
         back["ue"].sharding, "spec"
     ):
         assert back["ue"].sharding.spec == P("mp", None)
+
+
+def test_bpr_crash_resume_reproduces_uninterrupted_run(small_inter, tmp_path):
+    """Train 4 epochs straight vs 2 epochs + resume-for-4: identical
+    parameters (per-epoch fold_in keys + full optimizer-state restore)."""
+    import jax
+    import numpy as np
+
+    from topk_rec_tpu.models import BPR
+
+    def make():
+        m = BPR(k=6, lr=0.05, seed=11)
+        m.set_interactions(small_inter)
+        return m
+
+    straight = make()
+    straight.train(epochs=4, batch_size=64, scan_steps=4, verbose=False)
+
+    d = str(tmp_path / "ckpt")
+    first = make()
+    first.train(epochs=2, batch_size=64, scan_steps=4, verbose=False,
+                ckpt_dir=d)
+    resumed = make()
+    resumed.train(epochs=4, batch_size=64, scan_steps=4, verbose=False,
+                  ckpt_dir=d)
+
+    np.testing.assert_allclose(resumed.fue, straight.fue, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(resumed.fie, straight.fie, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        resumed.fib.ravel(), straight.fib.ravel(), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_vbpr_crash_resume_reproduces_uninterrupted_run(small_inter, tmp_path):
+    import numpy as np
+
+    from topk_rec_tpu.models import VBPR
+
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(small_inter.n_items, 10)).astype(np.float32)
+
+    def make():
+        m = VBPR(k=6, d=10, lr=0.05, seed=4)
+        m.set_interactions(small_inter)
+        m.set_features(feat)
+        return m
+
+    straight = make()
+    straight.train(epochs=3, batch_size=64, scan_steps=4, verbose=False)
+
+    d = str(tmp_path / "vckpt")
+    first = make()
+    first.train(epochs=1, batch_size=64, scan_steps=4, verbose=False,
+                ckpt_dir=d)
+    resumed = make()
+    resumed.train(epochs=3, batch_size=64, scan_steps=4, verbose=False,
+                  ckpt_dir=d)
+    np.testing.assert_allclose(resumed.fue, straight.fue, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(resumed.fie, straight.fie, rtol=1e-6, atol=1e-7)

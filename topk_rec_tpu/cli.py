@@ -220,6 +220,8 @@ def train_from_config(cfg: TrainConfig, mesh=None):
                     batch_size=cfg.batch_size,
                     epoch_sample_limit=cfg.epoch_sample_limit,
                     model_path=cfg.warm_start,
+                    ckpt_dir=cfg.ckpt_dir,
+                    ckpt_every=cfg.ckpt_every,
                 )
         elif mc.model == "dpm":
             from .models import MLPEncoder, SDAEEncoder
@@ -276,6 +278,8 @@ def cmd_train(args) -> int:
         log_dir=args.log_dir,
         profile_dir=args.profile_dir,
         save_lag=args.save_lag,
+        ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
     )
     if args.coordinator or os.environ.get("TKR_COORDINATOR"):
         # multi-host: join the coordination service before any backend use
@@ -416,6 +420,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write state.log/settings.txt here (ALS models)")
     pt.add_argument("--profile-dir", default=_TC.profile_dir,
                     help="capture a jax.profiler trace of training here")
+    pt.add_argument("--ckpt-dir", default=_TC.ckpt_dir,
+                    help="native crash-resume checkpoints (params + "
+                         "optimizer state) every --ckpt-every epochs; "
+                         "restarting the same command resumes")
+    pt.add_argument("--ckpt-every", type=int, default=_TC.ckpt_every)
     pt.add_argument("--save-lag", type=int, default=_TC.save_lag,
                     help="dump %%04d-U/V.dat into -o every N ALS iterations "
                          "(reference cr --save_lag)")

@@ -286,12 +286,23 @@ class BPR(Recommender):
         model_path: Optional[str] = None,
         scan_steps: int = 128,
         verbose: bool = True,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 1,
     ) -> None:
         """Reference-parity training loop (reference bpr.py:103-153).
 
         ``epoch_sample_limit`` defaults to the number of positive pairs;
         each epoch runs ``epoch_sample_limit // batch_size + 1`` batches
         (ref bpr.py:113). ``scan_steps`` batches execute per device launch.
+
+        ``ckpt_dir`` enables epoch-level fault tolerance via
+        CheckpointManager (save-lag GC'd native checkpoints of params +
+        optimizer state, saved every ``ckpt_every`` epochs): a restarted
+        train() resumes from the latest checkpointed epoch with the
+        identical sampling stream (per-epoch keys are fold_in-derived,
+        not chained), so crash-resume reproduces the uninterrupted run.
+        TPU-native analog of the reference solver's save-lag + resume
+        (old/cr/cr.cpp:118-122,284-295).
         """
         assert self.inter is not None, "no training data loaded"
         if epoch_sample_limit is None:
@@ -300,9 +311,24 @@ class BPR(Recommender):
         if model_path is not None:
             tprint("Initialize weights with the previous trained model")
             self.import_embeddings(model_path)
-        key = jax.random.PRNGKey(self.seed)
-        key, init_key = jax.random.split(key)
-        self._init_params(init_key)
+        base_key = jax.random.PRNGKey(self.seed)
+        self._init_params(jax.random.fold_in(base_key, 2**31 - 1))
+        start_epoch = 0
+        mgr = None
+        if ckpt_dir is not None:
+            from ..checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(ckpt_dir, save_every=ckpt_every)
+            latest = mgr.latest_step()
+            if latest is not None:
+                state = mgr.restore(
+                    latest, like={"params": self._params, "ms": self._ms}
+                )
+                self._params = state["params"]
+                self._ms = state["ms"]
+                start_epoch = latest
+                if verbose:
+                    tprint(f"Resuming from checkpointed epoch {latest}")
         if verbose:
             tprint(
                 "Training parameters: lu=%.6f, li=%.6f, lj=%.6f, lb=%.6f"
@@ -331,9 +357,12 @@ class BPR(Recommender):
         # batches (the reference's batch_limit already has a +1 fudge,
         # bpr.py:113).
         n_chunks = max(1, -(-batch_limit // scan_steps))
-        for eid in range(epochs):
+        for eid in range(start_epoch, epochs):
             t0 = time.time()
             chunk_losses = []
+            # per-epoch key derivation (not a chained split): a resumed
+            # run samples the same stream as the uninterrupted one
+            key = jax.random.fold_in(base_key, eid)
             for _ in range(n_chunks):
                 n_steps = scan_steps
                 key, sub = jax.random.split(key)
@@ -360,6 +389,8 @@ class BPR(Recommender):
                     "Epoch %3d, loss %.4f, time %.3fs"
                     % (eid + 1, total_loss, time.time() - t0)
                 )
+            if mgr is not None:
+                mgr.save(eid + 1, {"params": self._params, "ms": self._ms})
         self._sync_host()
 
     # ---- native checkpoint ----

@@ -350,7 +350,12 @@ class VBPR(Recommender):
         model_path: Optional[str] = None,
         scan_steps: int = 64,
         verbose: bool = True,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 1,
     ) -> None:
+        """``ckpt_dir``/``ckpt_every``: epoch-level crash-resume through
+        CheckpointManager with fold_in-derived per-epoch keys — identical
+        semantics to models/bpr.py BPR.train."""
         assert self.inter is not None and self.feat is not None
         if epoch_sample_limit is None:
             epoch_sample_limit = self.inter.nnz
@@ -358,9 +363,24 @@ class VBPR(Recommender):
         if model_path is not None:
             tprint("Initialize weights with the previous trained model")
             self.import_embeddings(model_path)
-        key = jax.random.PRNGKey(self.seed)
-        key, init_key = jax.random.split(key)
-        self._init_params(init_key)
+        base_key = jax.random.PRNGKey(self.seed)
+        self._init_params(jax.random.fold_in(base_key, 2**31 - 1))
+        start_epoch = 0
+        mgr = None
+        if ckpt_dir is not None:
+            from ..checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(ckpt_dir, save_every=ckpt_every)
+            latest = mgr.latest_step()
+            if latest is not None:
+                state = mgr.restore(
+                    latest, like={"params": self._params, "ms": self._ms}
+                )
+                self._params = state["params"]
+                self._ms = state["ms"]
+                start_epoch = latest
+                if verbose:
+                    tprint(f"Resuming from checkpointed epoch {latest}")
         feat_dev = self._feat_device()
         hyper = {
             "lu": self.lu,
@@ -382,9 +402,10 @@ class VBPR(Recommender):
         s = self.sampler
         # whole chunks only — remainder shapes would recompile (see bpr.py)
         n_chunks = max(1, -(-batch_limit // scan_steps))
-        for eid in range(epochs):
+        for eid in range(start_epoch, epochs):
             t0 = time.time()
             chunk_losses = []
+            key = jax.random.fold_in(base_key, eid)
             for _ in range(n_chunks):
                 n_steps = scan_steps
                 key, sub = jax.random.split(key)
@@ -410,6 +431,8 @@ class VBPR(Recommender):
                     "Epoch %3d, loss %.4f, time %.3fs"
                     % (eid + 1, total_loss, time.time() - t0)
                 )
+            if mgr is not None:
+                mgr.save(eid + 1, {"params": self._params, "ms": self._ms})
         self._sync_host()
 
     def _sync_host(self) -> None:
