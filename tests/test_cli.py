@@ -39,6 +39,21 @@ def fold_dir(tmp_path_factory):
             ",".join([uid_names[u]] + [f"{vid_names[i]}:1" for i in liked])
         )
     (root / "f0te.im.txt").write_text("\n".join(telines) + "\n")
+    # out-of-matrix (cold-start) scenario: candidates are items never
+    # rated in training (ref README.md:14); id lists in arbitrary order
+    rated = set(flat.tolist())
+    om_cand = [i for i in range(n_items) if i not in rated]
+    if len(om_cand) < 5:  # ensure a real om candidate pool
+        om_cand = list(range(n_items - 8, n_items))
+    (root / "f0te.om.idl").write_text(
+        "\n".join(vid_names[i] for i in om_cand) + "\n"
+    )
+    omlines = []
+    for u in range(0, n_users, 3):
+        liked = rng.choice(om_cand, size=min(2, len(om_cand)), replace=False)
+        omlines.append(",".join(
+            [uid_names[u]] + [f"{vid_names[i]}:1" for i in liked]))
+    (root / "f0te.om.txt").write_text("\n".join(omlines) + "\n")
     # content pickle for cer
     import pickle
 
@@ -140,17 +155,21 @@ def test_evaluate_byte_identical_to_reference_cli(fold_dir, tmp_path, capsys):
 
     ref = subprocess.run(
         [sys.executable, REFERENCE_CLI, "-d", str(fold_dir), "-m", str(mdir),
-         "-f", "0", "-sl", "im"],
+         "-f", "0", "-sl", "im", "om"],
         capture_output=True, text=True, timeout=300,
     )
     assert ref.returncode == 0, ref.stderr
-    ref_line = [l for l in ref.stdout.splitlines() if l.startswith("im,")][-1]
-
     main(["evaluate", "-d", str(fold_dir), "-m", str(mdir),
-          "-f", "0", "-sl", "im"])
+          "-f", "0", "-sl", "im", "om"])
     out = capsys.readouterr().out
-    our_line = [l for l in out.splitlines() if l.startswith("im,")][-1]
-    assert our_line == ref_line
+    for scenario in ("im", "om"):  # om = cold-start (ref README.md:14)
+        ref_line = [
+            l for l in ref.stdout.splitlines() if l.startswith(scenario + ",")
+        ][-1]
+        our_line = [
+            l for l in out.splitlines() if l.startswith(scenario + ",")
+        ][-1]
+        assert our_line == ref_line, scenario
 
 
 def test_train_save_lag_and_profile(fold_dir, tmp_path, capsys):
