@@ -5,6 +5,13 @@ measurement attempt died to TPU tunnel flapping. Rerun when the tunnel
 is stable; if it wins, fold into models/bpr.py _chunk_impl. Known probe
 bug fixed here: model._params gets DONATED by the first _train_chunk
 call, so snapshot ue/ie/ib BEFORE the baseline loop.
+
+UNRESOLVED (2026-08-20): two runs measured current=72-78ms/chunk vs
+stacked=12.5-12.7ms — but bench.py repeatedly measures the SAME
+current-layout executable at ~12ms/chunk (2.8M samples/s). Either this
+probe's baseline timing is confounded (fixed key? loop structure?) or
+the official bench is; do NOT adopt the stacked layout on this evidence.
+Re-measure both through bench.py-style loops on stable hardware.
 """
 import time, sys
 import numpy as np
