@@ -6,12 +6,12 @@ is stable; if it wins, fold into models/bpr.py _chunk_impl. Known probe
 bug fixed here: model._params gets DONATED by the first _train_chunk
 call, so snapshot ue/ie/ib BEFORE the baseline loop.
 
-UNRESOLVED (2026-08-20): two runs measured current=72-78ms/chunk vs
-stacked=12.5-12.7ms — but bench.py repeatedly measures the SAME
-current-layout executable at ~12ms/chunk (2.8M samples/s). Either this
-probe's baseline timing is confounded (fixed key? loop structure?) or
-the official bench is; do NOT adopt the stacked layout on this evidence.
-Re-measure both through bench.py-style loops on stable hardware.
+History (2026-08-20): an earlier probe version measured
+current=72-78ms vs stacked=12.5ms, contradicting bench.py's repeated
+~12ms for the current layout. Root cause: the baseline warmup was not
+float()-synced, so the executable upload + first execution landed in
+the timed region (the stacked warmup WAS synced). Fixed below — rerun
+on stable hardware; expect the layouts within noise of each other.
 """
 import time, sys
 import numpy as np
@@ -123,7 +123,11 @@ def run_cur_sync():
         params, ms, loss = _train_chunk(params, ms, k0, s.user_rows, s.flat_pos, s.pos_bitmap, hyper, B, n_items, 2, S, "l2")
     return loss
 t_cur = None
-run_cur_sync()
+# float() sync: without it the warm call's executable upload + first
+# execution stay in flight and land inside the timed region (this was
+# the probe's baseline-vs-bench discrepancy)
+params, ms, loss = _train_chunk(params, ms, k0, s.user_rows, s.flat_pos, s.pos_bitmap, hyper, B, n_items, 2, S, "l2")
+float(loss)
 t0=time.time()
 outs=[]
 for _ in range(12):
