@@ -18,7 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 # Optional platform override (e.g. TKR_PLATFORM=cpu): must precede any jax
 # backend use; this environment pre-imports jax with a pinned remote-TPU

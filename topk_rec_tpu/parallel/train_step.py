@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..data.dataset import Interactions
 from ..models.bpr import BPR
 from ..models.vbpr import VBPR
 from .mesh import BPR_PARAM_SPECS, VBPR_PARAM_SPECS, replicate, shard_params
