@@ -171,6 +171,21 @@ def test_evaluate_byte_identical_to_reference_cli(fold_dir, tmp_path, capsys):
         ][-1]
         assert our_line == ref_line, scenario
 
+    # nondefault bucket knobs (-s/-t, ref evaluate.py:52-53)
+    ref = subprocess.run(
+        [sys.executable, REFERENCE_CLI, "-d", str(fold_dir), "-m", str(mdir),
+         "-f", "0", "-s", "3", "-t", "9", "-sl", "im"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert ref.returncode == 0, ref.stderr
+    main(["evaluate", "-d", str(fold_dir), "-m", str(mdir),
+          "-f", "0", "-s", "3", "-t", "9", "-sl", "im"])
+    out = capsys.readouterr().out
+    ref_line = [l for l in ref.stdout.splitlines() if l.startswith("im,")][-1]
+    our_line = [l for l in out.splitlines() if l.startswith("im,")][-1]
+    assert our_line == ref_line
+    assert our_line.count(",") == 3  # 9//3 buckets
+
 
 def test_train_save_lag_and_profile(fold_dir, tmp_path, capsys):
     """--save-lag writes numbered %04d-U/V.dat checkpoints into -o
