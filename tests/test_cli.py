@@ -206,6 +206,34 @@ def test_train_save_lag_and_profile(fold_dir, tmp_path, capsys):
     assert os.path.isdir(prof) and os.listdir(prof)  # trace files captured
 
 
+def test_train_wmf_theta_init(fold_dir, tmp_path):
+    """--theta-init feeds the cr-style item prior file (reference cr
+    --theta_init, old/cr/main.cpp:33; read at cr.cpp:24-40): the CLI run
+    must equal the library path trained with the same theta matrix."""
+    from topk_rec_tpu.data.io import read_dat, write_dat
+    from topk_rec_tpu.models import WMF
+
+    theta = np.random.default_rng(40).random((50, 6)).astype(np.float32)
+    tpath = str(tmp_path / "final.gamma")
+    write_dat(tpath, theta)
+    out = str(tmp_path / "wmf_theta")
+    rc = main([
+        "train", "--model", "wmf", "-d", str(fold_dir), "-o", out,
+        "--k", "6", "--max-iter", "2", "--tol", "0",
+        "--theta-init", tpath,
+    ])
+    assert rc == 0
+
+    model = WMF(k=6)
+    model.load_training_data(
+        str(fold_dir / "uid"), str(fold_dir / "vid"),
+        str(fold_dir / "f0tr.txt"),
+    )
+    model.train(max_iter=2, tol=0.0, theta=read_dat(tpath), verbose=False)
+    v_cli = read_dat(os.path.join(out, "final-V.dat"))
+    np.testing.assert_allclose(v_cli, model.fie, atol=1e-5)
+
+
 def test_fuse_p_sweep(fold_dir, tmp_path, capsys):
     dirs = []
     for seed in ("5", "6"):

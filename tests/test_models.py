@@ -102,6 +102,36 @@ def test_wmf_loss_decreases(fold):
     assert all(b <= a * 1.001 for a, b in zip(losses, losses[1:]))
 
 
+def test_wmf_theta_init(fold):
+    """theta (reference cr --theta_init, old/cr/main.cpp:33) initializes V
+    (cr.cpp:57) and enters every item solve as the lv-weighted content
+    prior (cr.cpp:210): train(theta=) must equal manually seeding fie and
+    sweeping with prior=theta."""
+    import jax.numpy as jnp
+
+    tr, _ = fold
+    theta = (
+        np.random.default_rng(30)
+        .normal(size=(tr.n_items, 16))
+        .astype(np.float32)
+    )
+    model = WMF(k=16, seed=7, block_size=64)
+    model.set_interactions(tr)
+    model.train(max_iter=1, tol=0.0, theta=theta, verbose=False)
+
+    ref = WMF(k=16, seed=7, block_size=64)
+    ref.set_interactions(tr)
+    ref.fie = theta.copy()
+    ref._sweeps(prior=jnp.asarray(theta))
+    np.testing.assert_allclose(np.asarray(model.fue), np.asarray(ref.fue))
+    np.testing.assert_allclose(np.asarray(model.fie), np.asarray(ref.fie))
+
+    bad = WMF(k=16, seed=7, block_size=64)
+    bad.set_interactions(tr)
+    with pytest.raises(ValueError):
+        bad.train(max_iter=1, theta=theta[:, :8], verbose=False)
+
+
 @pytest.fixture(scope="module")
 def content_fold(fold):
     tr, likes = fold

@@ -239,10 +239,20 @@ def train_from_config(cfg: TrainConfig, mesh=None):
                 save_dir=save_dir,
             )
         else:
+            extra = {}
+            if mc.model == "wmf" and cfg.theta_init:
+                # reference cr --theta_init (old/cr/main.cpp:33): a raw
+                # row-major [n_items, k] matrix in item-index order, as
+                # written by the legacy outer loops (final.gamma,
+                # old/methods/cer_train.py:72-75); read like cr.cpp:24-40.
+                from .data.io import read_dat
+
+                extra["theta"] = read_dat(cfg.theta_init)
             model.train(
                 max_iter=cfg.max_iter, tol=cfg.tol,
                 model_path=cfg.warm_start, log_dir=cfg.log_dir,
                 save_lag=cfg.save_lag, save_dir=save_dir,
+                **extra,
             )
     model.export_embeddings(cfg.out_dir)
     tprint(f"Exported embeddings to {cfg.out_dir}")
@@ -278,6 +288,7 @@ def cmd_train(args) -> int:
         log_dir=args.log_dir,
         profile_dir=args.profile_dir,
         save_lag=args.save_lag,
+        theta_init=args.theta_init,
         ckpt_dir=args.ckpt_dir,
         ckpt_every=args.ckpt_every,
     )
@@ -425,6 +436,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "optimizer state) every --ckpt-every epochs; "
                          "restarting the same command resumes")
     pt.add_argument("--ckpt-every", type=int, default=_TC.ckpt_every)
+    pt.add_argument("--theta-init", default=_TC.theta_init,
+                    help="item-prior .dat matrix ([n_items, k], item-index "
+                         "order): inits V and enters every item solve as the "
+                         "lv-weighted prior (reference cr --theta_init, "
+                         "old/cr/main.cpp:33, cr.cpp:24-57); wmf only")
     pt.add_argument("--save-lag", type=int, default=_TC.save_lag,
                     help="dump %%04d-U/V.dat into -o every N ALS iterations "
                          "(reference cr --save_lag)")

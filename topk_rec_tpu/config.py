@@ -64,6 +64,7 @@ class TrainConfig:
     log_dir: Optional[str] = None      # state.log / settings.txt (ALS)
     profile_dir: Optional[str] = None  # jax.profiler trace destination
     save_lag: Optional[int] = None     # %04d-U/V.dat checkpoint cadence
+    theta_init: Optional[str] = None   # item-prior matrix file (cr --theta_init)
     ckpt_dir: Optional[str] = None     # native crash-resume checkpoints
     ckpt_every: int = 1                # epochs between native checkpoints
 

@@ -125,6 +125,7 @@ class WMF(Recommender):
         log_dir: Optional[str] = None,
         save_lag: Optional[int] = None,
         save_dir: Optional[str] = None,
+        theta: Optional[np.ndarray] = None,
     ) -> None:
         """ALS loop with relative-loss convergence (ref wmf.py:61-101).
 
@@ -133,10 +134,27 @@ class WMF(Recommender):
         ``%04d-U/V.dat`` checkpoints into ``save_dir`` every that many
         iterations (reference cr --save_lag, old/cr/main.cpp:28,
         cr.cpp:284-295).
+
+        ``theta`` [n_items, k] is the reference cr solver's
+        ``--theta_init`` topic-proportion matrix (old/cr/main.cpp:33,
+        read at cr.cpp:24-40): it initializes the item factors
+        (V = theta, cr.cpp:57) and enters every item solve as the
+        lv-weighted content prior in the RHS (cr.cpp:210), with unrated
+        items solved from the prior alone (cr.cpp:241-264). A warm
+        start from ``model_path`` overrides the V init, matching the
+        cr binary's resume-from-final-V.dat precedence (cr.cpp:118-122).
         """
         from ..utils.statelog import StateLog
 
         assert self.inter is not None
+        if theta is not None:
+            theta = np.asarray(theta, dtype=np.float32)
+            if theta.shape != (self.inter.n_items, self.k):
+                raise ValueError(
+                    "theta shape %s != (n_items=%d, k=%d)"
+                    % (theta.shape, self.inter.n_items, self.k)
+                )
+            self.fie = theta.copy()
         if model_path is not None and os.path.isdir(model_path):
             self.import_embeddings(model_path)
         slog = StateLog(
@@ -153,9 +171,10 @@ class WMF(Recommender):
             },
         )
         loss = np.exp(50)
+        prior = None if theta is None else jnp.asarray(theta)
         for it in range(max_iter):
             t1 = time.time()
-            fit = self._sweeps(prior=None)
+            fit = self._sweeps(prior=prior)
             loss_old, loss = loss, fit + self._loss_reg()
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
