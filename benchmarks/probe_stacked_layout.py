@@ -1,17 +1,32 @@
-"""EXPERIMENT (round-2, unresolved): per-table [params; acc] row-stacked
-layout — one 2M-row gather/scatter per table per step instead of two
-M-row ones. Estimated +10-15% on the latency-bound SGD step; the round-2
-measurement attempt died to TPU tunnel flapping. Rerun when the tunnel
-is stable; if it wins, fold into models/bpr.py _chunk_impl. Known probe
-bug fixed here: model._params gets DONATED by the first _train_chunk
-call, so snapshot ue/ie/ib BEFORE the baseline loop.
+"""EXPERIMENT (round-2, RESOLVED: no win — layouts equal): per-table
+[params; acc] row-stacked layout — one 2M-row gather/scatter per table
+per step instead of two M-row ones. Estimated +10-15% on the
+latency-bound SGD step; measured: none.
 
-History (2026-08-20): an earlier probe version measured
-current=72-78ms vs stacked=12.5ms, contradicting bench.py's repeated
-~12ms for the current layout. Root cause: the baseline warmup was not
-float()-synced, so the executable upload + first execution landed in
-the timed region (the stacked warmup WAS synced). Fixed below — rerun
-on stable hardware; expect the layouts within noise of each other.
+Resolution (2026-08-20, A-B-A rerun): the current layout's apparent
+70ms/chunk here was an ORDER artifact, not a layout effect. The first
+timed block in a fresh process measures ~71ms/chunk; every later block —
+same program, same data, either layout, same-key or split-key — measures
+~12.5ms/chunk. Even with the warmup float()-synced, a fresh process's
+first timed dozen dispatches absorb ~700ms of one-time residual work
+(tunnel/allocator stream setup). Measured A-B-A in one process:
+current(first)=71.1ms, current(bench-style split keys)=13.3ms,
+current(again)=12.6ms — vs stacked=12.46ms from the two-phase run. So
+current ~= stacked within noise, matching the op-count analysis in
+BASELINE.md "training-step anatomy" (the two tables' independent update
+chains already overlap; stacking merely serializes them into one chain
+with the same op latency). The current split-table layout stays.
+
+Probe-methodology lesson (now also in CLAUDE.md): never trust the FIRST
+timed block of a fresh process on this tunnel; run a throwaway timed
+block, or interleave A-B-A.
+
+Known probe bug fixed here: model._params gets DONATED by the first
+_train_chunk call, so snapshot ue/ie/ib BEFORE the baseline loop.
+
+History: an earlier probe version measured current=72-78ms vs
+stacked=12.5ms, first blamed on an unsynced baseline warmup; the synced
+rerun still measured 70.1 vs 12.5, which is what prompted the A-B-A.
 """
 import time, sys
 import numpy as np
@@ -49,9 +64,6 @@ def chunk_stacked(stk, key, user_rows, flat_pos, pos_bitmap, hyper, batch_size, 
     ni = sit.shape[0] // 2
     k = su.shape[1]
 
-    def loss_fn(pu, pit, pjt):
-        pi, bi = pit[:, :k-1] if False else (pit[:, :k], pit[:, k]), None  # placeholder
-    # real loss fn
     def loss_fn(pu, pit, pjt):
         kk = k
         pi, bi = pit[:, :kk], pit[:, kk]
@@ -124,10 +136,17 @@ def run_cur_sync():
     return loss
 t_cur = None
 # float() sync: without it the warm call's executable upload + first
-# execution stay in flight and land inside the timed region (this was
-# the probe's baseline-vs-bench discrepancy)
+# execution stay in flight and land inside the timed region
 params, ms, loss = _train_chunk(params, ms, k0, s.user_rows, s.flat_pos, s.pos_bitmap, hyper, B, n_items, 2, S, "l2")
 float(loss)
+# burn-in: the FIRST timed dozen dispatches of a fresh process absorb
+# ~700ms of one-time residual setup regardless of program (see header);
+# burn a full block before anything is timed
+outs = []
+for _ in range(12):
+    params, ms, loss = _train_chunk(params, ms, k0, s.user_rows, s.flat_pos, s.pos_bitmap, hyper, B, n_items, 2, S, "l2")
+    outs.append(loss)
+float(sum(outs))
 t0=time.time()
 outs=[]
 for _ in range(12):
