@@ -11,8 +11,10 @@ same program, same data, either layout, same-key or split-key — measures
 first timed dozen dispatches absorb ~700ms of one-time residual work
 (tunnel/allocator stream setup). Measured A-B-A in one process:
 current(first)=71.1ms, current(bench-style split keys)=13.3ms,
-current(again)=12.6ms — vs stacked=12.46ms from the two-phase run. So
-current ~= stacked within noise, matching the op-count analysis in
+current(again)=12.6ms — vs stacked=12.46ms from the two-phase run.
+Confirmed by this probe with the burn-in below: current=12.49ms,
+stacked=12.56ms. So current ~= stacked within noise, matching the
+op-count analysis in
 BASELINE.md "training-step anatomy" (the two tables' independent update
 chains already overlap; stacking merely serializes them into one chain
 with the same op latency). The current split-table layout stays.
