@@ -37,6 +37,32 @@ import pytest
 from topk_rec_tpu.data.dataset import Interactions, synthetic_interactions
 
 
+def pytest_configure(config):
+    """Build the native runtime lib before collection so its golden tests
+    never silently skip: the `needs_native` skipif in test_native.py is
+    evaluated at import time, hence the build must happen here. Fails
+    loudly when a C++ toolchain exists but the build breaks; the tests
+    skip only when no compiler is installed."""
+    import shutil
+    import subprocess
+
+    if shutil.which(os.environ.get("CXX", "g++")) is None:
+        return
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "topk_rec_tpu",
+        "native",
+    )
+    r = subprocess.run(
+        ["make", "-C", native_dir], capture_output=True, text=True
+    )
+    if r.returncode != 0:
+        raise pytest.UsageError(
+            "native lib build failed (make -C topk_rec_tpu/native):\n"
+            + r.stderr[-2000:]
+        )
+
+
 @pytest.fixture(scope="session")
 def tiny_inter() -> Interactions:
     """Hand-written 4-user / 6-item fold used for exact-value tests."""

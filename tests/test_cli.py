@@ -234,6 +234,24 @@ def test_train_wmf_theta_init(fold_dir, tmp_path):
     np.testing.assert_allclose(v_cli, model.fie, atol=1e-5)
 
 
+def test_train_theta_init_rejected_for_non_wmf(fold_dir, tmp_path):
+    """--theta-init on a model that doesn't consume it (cer derives its
+    prior internally from F·E) must fail loudly, not be silently ignored."""
+    import pytest
+
+    from topk_rec_tpu.data.io import write_dat
+
+    theta = np.random.default_rng(41).random((50, 6)).astype(np.float32)
+    tpath = str(tmp_path / "final.gamma")
+    write_dat(tpath, theta)
+    with pytest.raises(SystemExit, match="theta-init"):
+        main([
+            "train", "--model", "cer", "-d", str(fold_dir),
+            "-o", str(tmp_path / "cer_theta"), "--content", "feat.pkl",
+            "--k", "6", "--max-iter", "1", "--theta-init", tpath,
+        ])
+
+
 def test_fuse_p_sweep(fold_dir, tmp_path, capsys):
     dirs = []
     for seed in ("5", "6"):

@@ -132,6 +132,42 @@ def test_wmf_theta_init(fold):
         bad.train(max_iter=1, theta=theta[:, :8], verbose=False)
 
 
+def test_wmf_theta_prior_matches_dense_numpy_oracle(fold):
+    """The theta-prior item solve must satisfy the reference cr equation
+    (old/cr/cr.cpp:188-216,241-264; same shape as ref cer.py:49-63)
+
+        (b·UᵣᵀUᵣ + (a−b)·Σ_{u∈I_j} u uᵀ + lv·I) v_j
+            = a·Σ_{u∈I_j} U_u + lv·θ_j
+
+    with unrated items solved from the prior alone — checked against an
+    INDEPENDENT dense NumPy solve (not the _sweeps plumbing under test)."""
+    tr, _ = fold
+    k = 12
+    rng = np.random.default_rng(31)
+    theta = rng.normal(size=(tr.n_items, k)).astype(np.float32)
+    model = WMF(k=k, seed=7, block_size=64)
+    model.set_interactions(tr)
+    model.fie = theta.copy()
+    model._sweeps(prior=theta)
+
+    U = np.asarray(model.fue, dtype=np.float64)
+    a, b, lv = model.a, model.b, model.lv
+    Ur = U[tr.rated_users]
+    XX = b * (Ur.T @ Ur)
+    indptr, flat = tr.item_csr
+    expect = np.empty((tr.n_items, k), dtype=np.float64)
+    for j in range(tr.n_items):
+        users = flat[indptr[j] : indptr[j + 1]]
+        Uj = U[users]
+        A = XX + (a - b) * (Uj.T @ Uj) + lv * np.eye(k)
+        rhs = a * Uj.sum(axis=0) + lv * theta[j].astype(np.float64)
+        expect[j] = np.linalg.solve(A, rhs)
+    # tolerance covers batched_solve's 1e-6 trace-scaled fp32 jitter
+    np.testing.assert_allclose(
+        np.asarray(model.fie), expect, rtol=2e-3, atol=2e-4
+    )
+
+
 @pytest.fixture(scope="module")
 def content_fold(fold):
     tr, likes = fold

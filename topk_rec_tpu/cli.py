@@ -196,6 +196,15 @@ def train_from_config(cfg: TrainConfig, mesh=None):
     from .utils.profiling import profile_trace
 
     mc = cfg.model
+    if cfg.theta_init and mc.model != "wmf":
+        # cer/dpm derive their item prior internally (F·E / encoder
+        # output) — a user-supplied theta would be silently ignored;
+        # the reference only threads --theta_init into the cr binary
+        # from its own outer loops (old/methods/cer_train.py:72-76).
+        raise SystemExit(
+            f"--theta-init is only consumed by --model wmf "
+            f"(got --model {mc.model})"
+        )
     model = build_model(mc, mesh=mesh)
     model.load_training_data(
         os.path.join(cfg.data.data_dir, cfg.data.uid_file),

@@ -110,10 +110,17 @@ class WMF(Recommender):
         write_dat(os.path.join(save_dir, "%04d-U.dat" % it), self.fue)
         write_dat(os.path.join(save_dir, "%04d-V.dat" % it), self.fie)
 
-    def _loss_reg(self) -> float:
-        """0.5·lu·‖U‖² + 0.5·lv·‖V‖² (ref wmf.py:81,97)."""
+    def _loss_reg(self, theta: Optional[np.ndarray] = None) -> float:
+        """0.5·lu·‖U‖² + 0.5·lv·‖V‖² (ref wmf.py:81,97).
+
+        With a content prior the item term becomes the cr solver's
+        prior-distance 0.5·lv·‖V−θ‖² (old/cr/cr.cpp item-likelihood
+        block; same assembly as CER's loss at cer.py) — keeping the
+        state.log loss and the relative-change stopping criterion on
+        the same objective the solves minimize."""
+        item_term = self.fie if theta is None else self.fie - theta
         return 0.5 * self.lu * float(np.sum(self.fue**2)) + 0.5 * self.lv * float(
-            np.sum(self.fie**2)
+            np.sum(item_term**2)
         )
 
     def train(
@@ -175,7 +182,7 @@ class WMF(Recommender):
         for it in range(max_iter):
             t1 = time.time()
             fit = self._sweeps(prior=prior)
-            loss_old, loss = loss, fit + self._loss_reg()
+            loss_old, loss = loss, fit + self._loss_reg(theta)
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
             if save_lag and save_dir and it % save_lag == 0:
