@@ -1,0 +1,120 @@
+"""Probe: piece costs for the v3 top-k design (stats kernel + XLA select).
+
+Measures, at the serving shape's reduced widths:
+  1. lax.top_k fp32 [70k, 768] -> 30
+  2. take_along_axis int32 [70k, 768] by [70k, 30] positions
+  3. lax.sort 2-operand [70k, 768]
+  4. lax.top_k int32 [70k, 768]
+  5. the stats-only Pallas kernel (v2 minus extraction rounds)
+  6. elementwise audit pass over [70k, 768]
+
+Timing per CLAUDE.md: async dispatch, one sync, burn-in block first.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    n_u, w, k = 69878, 768, 30
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(size=(n_u, w)).astype(np.float32))
+    cols = jnp.asarray(rng.integers(0, 10380, size=(n_u, w)).astype(np.int32))
+
+    def timeit(fn, *args, iters=12):
+        float(fn(*args))
+        outs = [fn(*args) for _ in range(iters)]
+        float(sum(outs))
+        t0 = time.time()
+        outs = [fn(*args) for _ in range(iters)]
+        acc = float(sum(outs))
+        dt = (time.time() - t0) / iters
+        assert np.isfinite(acc)
+        return dt * 1e3
+
+    @jax.jit
+    def p1_topk(vals):
+        v, i = jax.lax.top_k(vals, k)
+        return jnp.sum(v) + jnp.sum(i)
+
+    @jax.jit
+    def p2_take(vals, cols):
+        v, i = jax.lax.top_k(vals, k)
+        c = jnp.take_along_axis(cols, i, axis=1)
+        return jnp.sum(v) + jnp.sum(c)
+
+    @jax.jit
+    def p3_sort2(vals, cols):
+        sv, sc = jax.lax.sort((-vals, cols), num_keys=2)
+        return jnp.sum(sv[:, :k]) + jnp.sum(sc[:, :k])
+
+    @jax.jit
+    def p4_topk_int(cols):
+        v, i = jax.lax.top_k(cols, k)
+        return jnp.sum(v) + jnp.sum(i)
+
+    @jax.jit
+    def p6_audit(vals):
+        t = vals[:, 5]
+        gt = jnp.sum((vals > t[:, None]).astype(jnp.int32), axis=1)
+        eq = jnp.sum((vals == t[:, None]).astype(jnp.int32), axis=1)
+        return jnp.sum(gt) + jnp.sum(eq)
+
+    # packed sortable-int trick: quantized value top bits | slot
+    @jax.jit
+    def p7_packed(vals, cols):
+        bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+        sortable = jnp.where(
+            (bits >> 31) == 1, ~bits, bits | jnp.uint32(0x80000000)
+        )
+        packed = (sortable & jnp.uint32(0xFFFFC000)) | (
+            jnp.uint32(16383) - cols.astype(jnp.uint32)
+        )
+        pk = packed.astype(jnp.int32) ^ jnp.int32(-2147483648)
+        v, i = jax.lax.top_k(pk, k)
+        return jnp.sum(v) + jnp.sum(i)
+
+    for name, fn, args in [
+        ("topk_f32_768", p1_topk, (vals,)),
+        ("topk+take_along", p2_take, (vals, cols)),
+        ("sort2_768", p3_sort2, (vals, cols)),
+        ("topk_int_768", p4_topk_int, (cols,)),
+        ("audit_pass_768", p6_audit, (vals,)),
+        ("packed_topk_768", p7_packed, (vals, cols)),
+    ]:
+        print(f"{name:20s} {timeit(fn, *args):8.2f} ms", flush=True)
+
+    # ---- stats-only kernel cost: approximate by running the existing v2
+    # kernel with k=1 (one extraction round instead of 30) — isolates the
+    # stats + matmul + mask floor ----
+    from topk_rec_tpu.ops.topk_pallas import fused_score_topk
+
+    n_items, d = 10380, 50
+    U = jnp.asarray(rng.normal(size=(n_u, d)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n_items).astype(np.float32))
+    mask = jax.jit(
+        lambda key: (
+            jax.random.uniform(key, (n_u, n_items)) < 0.02
+        ).astype(jnp.int8)
+    )(jax.random.PRNGKey(0))
+
+    for kk in (1, 8, 30):
+        @jax.jit
+        def run(U, V, b, mask, kk=kk):
+            v, i = fused_score_topk(U, V, b, mask, kk, exact_matmul=False)
+            return jnp.sum(v) + jnp.sum(i)
+
+        print(f"pallas_v2 k={kk:3d}     {timeit(run, U, V, b, mask):8.2f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,9 @@ from topk_rec_tpu.data.dataset import Interactions, synthetic_interactions
 
 
 def pytest_configure(config):
-    """Build the native runtime lib before collection so its golden tests
+    """Register markers and build the native runtime lib before collection.
+
+    Native lib: built here so its golden tests
     never silently skip: the `needs_native` skipif in test_native.py is
     evaluated at import time, hence the build must happen here. Fails
     loudly when a C++ toolchain exists but the build breaks; the tests
@@ -46,6 +48,10 @@ def pytest_configure(config):
     import shutil
     import subprocess
 
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running end-to-end tests (deselect with -m 'not slow')",
+    )
     if shutil.which(os.environ.get("CXX", "g++")) is None:
         return
     native_dir = os.path.join(

@@ -60,3 +60,56 @@ def test_sharded_lookup_default_capacity(small_inter):
         got = np.asarray(rows)
         served = np.abs(got).sum(axis=1) > 0
         np.testing.assert_allclose(got[served], table[idx][served], rtol=1e-6)
+
+
+# ---- reverse exchange: sharded_update ----
+
+from topk_rec_tpu.parallel.lookup import sharded_update
+
+
+@pytest.mark.parametrize("dp,mp", [(2, 4), (1, 8)])
+def test_sharded_update_exact_scatter_add(dp, mp):
+    """Reverse all-to-all scatter-add == dense np.add.at, duplicates
+    (within AND across source devices) summed exactly."""
+    rng = np.random.default_rng(5)
+    n_rows, k, B = 64, 6, 48
+    table = rng.normal(size=(n_rows, k)).astype(np.float32)
+    idx = rng.integers(0, n_rows, size=B).astype(np.int32)
+    idx[::5] = idx[0]          # duplicates within devices
+    idx[B // 2 :] = idx[: B // 2]  # duplicates ACROSS devices
+    rows = rng.normal(size=(B, k)).astype(np.float32)
+    want = table.copy()
+    np.add.at(want, idx, rows)
+    mesh = make_mesh(dp=dp, mp=mp)
+    new, overflow = sharded_update(table, idx, rows, mesh, capacity=B)
+    assert np.asarray(overflow).sum() == 0
+    np.testing.assert_allclose(np.asarray(new), want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_update_overflow_drops_whole_uniques():
+    """Tiny capacity on a skewed batch: overflow counted; surviving rows
+    carry exact sums of the contributions that were routed (dropped
+    uniques vanish atomically — never a partial/garbled row)."""
+    rng = np.random.default_rng(6)
+    n_rows, k = 64, 4
+    table = np.zeros((n_rows, k), dtype=np.float32)
+    mesh = make_mesh(dp=1, mp=8)
+    rows_per_shard = n_rows // 8
+    # 4 indices per device, all owned by shard 0; capacity=2 drops some
+    idx = np.concatenate([
+        rng.choice(rows_per_shard, size=4, replace=False)
+        for _ in range(8)
+    ]).astype(np.int32)
+    rows = np.ones((32, k), dtype=np.float32)
+    new, overflow = sharded_update(table, idx, rows, mesh, capacity=2)
+    assert np.asarray(overflow).sum() > 0
+    got = np.asarray(new)
+    # updates only land on requested rows, in whole-contribution units
+    touched = np.unique(idx)
+    untouched = np.setdiff1d(np.arange(n_rows), touched)
+    assert np.abs(got[untouched]).sum() == 0
+    full = np.zeros_like(table)
+    np.add.at(full, idx, rows)
+    assert (got <= full + 1e-6).all()  # never more than the full sum
+    # per-row deltas are integral contribution counts (atomic drops)
+    np.testing.assert_allclose(got, np.round(got), atol=1e-6)

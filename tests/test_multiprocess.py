@@ -51,13 +51,13 @@ def test_two_process_mesh_end_to_end():
             raise
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
-        _, pid, loss, ue_sum, fit, wmf_sum = line.split()
-        results[int(pid)] = (
-            float(loss), float(ue_sum), float(fit), float(wmf_sum)
-        )
+        parts = line.split()
+        results[int(parts[1])] = tuple(float(x) for x in parts[2:])
     assert set(results) == {0, 1}
     # SPMD determinism: both processes computed the identical global program
     np.testing.assert_array_equal(results[0], results[1])
-    loss, ue_sum, fit, wmf_sum = results[0]
-    assert np.isfinite([loss, ue_sum, fit, wmf_sum]).all()
-    assert ue_sum > 0 and wmf_sum > 0
+    loss, ue_sum, fit, wmf_sum, loss_e, serve_sum, vloss, vbpr_sum = (
+        results[0]
+    )
+    assert np.isfinite(results[0]).all()
+    assert ue_sum > 0 and wmf_sum > 0 and serve_sum > 0 and vbpr_sum > 0

@@ -218,3 +218,42 @@ def test_cer_mesh_matches_local(small_inter):
     np.testing.assert_allclose(m_dist.fue, m_local.fue, rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(m_dist.fie, m_local.fie, rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(m_dist.E, m_local.E, rtol=5e-3, atol=5e-4)
+
+
+def test_explicit_exchange_matches_gspmd(small_inter):
+    """The explicit all-to-all lookup/update training mode must reproduce
+    the GSPMD chunk's numerics: same key => same triplets, same per-row
+    summed gradients, same planned-RMSProp step (VERDICT r2 item 3)."""
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(11)
+
+    model_g = BPR(k=8, lr=0.05, seed=2)
+    model_g.set_interactions(small_inter)
+    model_g._init_params(jax.random.PRNGKey(43))
+    params0 = {k: np.asarray(v) for k, v in model_g._params.items()}
+    mesh_g = make_mesh(dp=2, mp=4)
+    tr_g = DistributedBPRTrainer(model_g, mesh_g, batch_size=64,
+                                 scan_steps=4)
+    tr_g.train_chunk(key)
+    tr_g.sync_to_model()
+    params_g = {k: np.asarray(v) for k, v in model_g._params.items()}
+
+    model_e = BPR(k=8, lr=0.05, seed=2)
+    model_e.set_interactions(small_inter)
+    model_e._params = {k: jnp.asarray(v) for k, v in params0.items()}
+    model_e._ms = jax.tree.map(jnp.zeros_like, model_e._params)
+    mesh_e = make_mesh(dp=1, mp=8)
+    tr_e = DistributedBPRTrainer(
+        model_e, mesh_e, batch_size=64, scan_steps=4,
+        exchange="explicit", capacity=64,
+    )
+    tr_e.train_chunk(key)
+    assert tr_e.last_overflow == 0
+    tr_e.sync_to_model()
+    params_e = {k: np.asarray(v) for k, v in model_e._params.items()}
+
+    for name in ("ue", "ie", "ib"):
+        np.testing.assert_allclose(
+            params_e[name], params_g[name], rtol=2e-4, atol=1e-5,
+        )

@@ -32,6 +32,29 @@ from ..utils import tprint
 from .base import Recommender
 
 
+def _pairwise_loss(pu, pit, pjt, lu, li, lj, lb, mode, k):
+    """BPR batch loss over gathered rows (ref bpr.py:87-99): softplus
+    pairwise term + l2/l1 regularization; ``pit``/``pjt`` carry the item
+    bias as column ``k``. Shared by the single-chip/GSPMD chunk body and
+    the explicit-exchange distributed step (parallel/train_step.py)."""
+    pi, bi = pit[:, :k], pit[:, k]
+    pj, bj = pjt[:, :k], pjt[:, k]
+    x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
+    nll = jnp.sum(jnp.logaddexp(0.0, -x))  # = sum log(1 + exp(-x))
+    if mode == "l2":
+        reg = 0.5 * (
+            jnp.sum(pu**2) * lu + jnp.sum(pi**2) * li + jnp.sum(pj**2) * lj
+        ) + 0.5 * lb * (jnp.sum(bi**2) + jnp.sum(bj**2))
+    else:
+        reg = (
+            jnp.sum(jnp.abs(pu)) * lu
+            + jnp.sum(jnp.abs(pi)) * li
+            + jnp.sum(jnp.abs(pj)) * lj
+            + lb * (jnp.sum(jnp.abs(bi)) + jnp.sum(jnp.abs(bj)))
+        )
+    return nll + reg
+
+
 def _chunk_impl(
     params: dict,
     ms: dict,
@@ -96,22 +119,7 @@ def _chunk_impl(
     )
 
     def loss_fn(pu, pit, pjt):
-        pi, bi = pit[:, :k], pit[:, k]
-        pj, bj = pjt[:, :k], pjt[:, k]
-        x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
-        nll = jnp.sum(jnp.logaddexp(0.0, -x))  # = sum log(1 + exp(-x))
-        if mode == "l2":
-            reg = 0.5 * (
-                jnp.sum(pu**2) * lu + jnp.sum(pi**2) * li + jnp.sum(pj**2) * lj
-            ) + 0.5 * lb * (jnp.sum(bi**2) + jnp.sum(bj**2))
-        else:
-            reg = (
-                jnp.sum(jnp.abs(pu)) * lu
-                + jnp.sum(jnp.abs(pi)) * li
-                + jnp.sum(jnp.abs(pj)) * lj
-                + lb * (jnp.sum(jnp.abs(bi)) + jnp.sum(jnp.abs(bj)))
-            )
-        return nll + reg
+        return _pairwise_loss(pu, pit, pjt, lu, li, lj, lb, mode, k)
 
     u_all, i_all, j_all = _sample_triplets(
         key,

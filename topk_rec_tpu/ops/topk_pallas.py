@@ -9,15 +9,22 @@ v5e. This kernel keeps each score tile in VMEM, applies the seen-item
 mask in-register, and maintains a running top-k buffer across item tiles —
 the score matrix never touches HBM.
 
-Selection (v2 — group-visibility): ``lax.top_k``/``sort`` have no Mosaic
-lowering, so selection is iterative max-extraction; the v1 kernel's k
-rounds over the full tile were VPU-bound (~95 ms measured: 30 rounds x 4
-vector passes x 2176 lanes). v2 first reduces each tile to per-group
-TOP-2 candidates — groups are lane-strided across the tile's 128-wide
-chunks (group j = lanes {j, j+128, j+256, …}), so every reduction step is
-a contiguous 128-lane slice, which Mosaic vectorizes natively (adjacent-
-lane reshapes/strided slices do NOT lower) — then runs the k extraction
-rounds over only [run(128) ‖ m1(128) ‖ m2(128)] = 384 lanes.
+Selection (v3 — group-visibility, deferred extraction): ``lax.top_k``/
+``sort`` have no Mosaic lowering, so selection is iterative
+max-extraction; the v1 kernel's k rounds over the full tile were
+VPU-bound (~95 ms measured: 30 rounds x 4 vector passes x 2176 lanes).
+v2 first reduced each tile to per-group TOP-2 candidates — groups are
+lane-strided across the tile's 128-wide chunks (group j = lanes
+{j, j+128, j+256, …}), so every reduction step is a contiguous 128-lane
+slice, which Mosaic vectorizes natively (adjacent-lane reshapes/strided
+slices do NOT lower) — then ran k extraction rounds per item tile over
+[run ‖ m1 ‖ m2] = 384 lanes. v3 keeps v2's group stats but APPENDS each
+tile's candidates to a [tu, 2·128·n_tiles] scratch buffer and runs the k
+extraction rounds ONCE at the last tile: rounds dominate the kernel
+(measured 0.27 ms/round vs a 14.3 ms everything-else floor,
+benchmarks/probe_topk_pieces.py) and their cost is set by the per-round
+cross-lane reductions, nearly independent of candidate width — so one
+sweep of k rounds over 768 lanes beats three sweeps over 384.
 
 Top-2 visibility is exact unless one group contributes ≥3 of a row's
 top-k. That event is DETECTED exactly: the kernel also tracks the row-max
@@ -61,15 +68,13 @@ _CHUNK = 128      # group-stat chunk width (contiguous lane slices)
 
 def _kernel(
     u_ref, v_ref, b_ref, m_ref, out_v_ref, out_i_ref, out_m3_ref,
-    run_v, run_i, run_m3,
+    cand_v, cand_i, run_m3,
     *, k: int, exact_matmul: bool,
 ):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        run_v[:] = jnp.full(run_v.shape, NEG_INF, jnp.float32)
-        run_i[:] = jnp.zeros(run_i.shape, jnp.int32)
         run_m3[:] = jnp.full(run_m3.shape, NEG_INF, jnp.float32)
 
     tu, ti = u_ref.shape[0], v_ref.shape[0]
@@ -127,43 +132,61 @@ def _kernel(
     gcol1 = item_base + p1 * _CHUNK + lane128
     gcol2 = item_base + jnp.minimum(p2, big - 1) * _CHUNK + lane128
     # dead m2 slots (value NEG_INF) keep a unique in-tile column so the
-    # index-keyed mask-out below can never alias a live lane
-    comb_v0 = jnp.concatenate([run_v[:], m1, m2], axis=1)
-    comb_i = jnp.concatenate([run_i[:], gcol1, gcol2], axis=1)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _RUN_LANES), 1)
-    int_max = jnp.int32(2**31 - 1)
-
-    def select_one(kk, carry):
-        comb_v, new_v, new_i = carry
-        # narrow rounds (384 lanes): max, masked-min argmax (lowest item
-        # index among ties — matches lax.top_k), index-keyed mask-out
-        m = jnp.max(comb_v, axis=1, keepdims=True)
-        ci = jnp.min(
-            jnp.where(comb_v == m, comb_i, int_max), axis=1, keepdims=True
-        )
-        put = out_lane == kk
-        new_v = jnp.where(put, m, new_v)
-        new_i = jnp.where(put, ci, new_i)
-        comb_v = jnp.where(comb_i == ci, NEG_INF, comb_v)
-        return comb_v, new_v, new_i
-
-    _, new_v, new_i = jax.lax.fori_loop(
-        0,
-        k,
-        select_one,
-        (
-            comb_v0,
-            jnp.full((tu, _RUN_LANES), NEG_INF, jnp.float32),
-            jnp.zeros((tu, _RUN_LANES), jnp.int32),
-        ),
-    )
-    run_v[:] = new_v
-    run_i[:] = new_i
+    # index-keyed mask-out below can never alias a live lane.
+    # v3: APPEND this tile's per-group top-2 candidates to the scratch
+    # buffer instead of merging via per-tile extraction rounds — the k
+    # extraction rounds then run ONCE over the merged [tu, 2*128*n_tiles]
+    # candidates at the last tile (v2 ran them per item tile; at 3 tiles
+    # that tripled the round count, and rounds dominate: measured
+    # 0.27 ms/round vs a 14.3 ms everything-else floor, probe_topk_pieces)
+    base = j * (2 * _CHUNK)
+    cand_v[:, pl.ds(base, _CHUNK)] = m1
+    cand_v[:, pl.ds(base + _CHUNK, _CHUNK)] = m2
+    cand_i[:, pl.ds(base, _CHUNK)] = gcol1
+    cand_i[:, pl.ds(base + _CHUNK, _CHUNK)] = gcol2
 
     @pl.when(j == pl.num_programs(1) - 1)
-    def _emit():
-        out_v_ref[:] = run_v[:]
-        out_i_ref[:] = run_i[:]
+    def _extract():
+        # NOTE a level-2 per-lane-group re-reduction (narrowing the
+        # extraction from 768 to 256 lanes) was tried and REJECTED: with
+        # only 128 lane groups, >= 3 of the row's top-30 land in one
+        # group for ~25-35% of rows (C(30,3)/128^2 birthday collisions),
+        # so its exactness trigger tripped the full fallback on most
+        # batches (221 ms measured); and the narrowing itself only saved
+        # ~2.8 ms (12.8 -> 10.0) because rounds carry a width-independent
+        # reduction cost. benchmarks/probe notes, round 3.
+        comb_v0 = cand_v[:]
+        comb_i = cand_i[:]
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _RUN_LANES), 1)
+        int_max = jnp.int32(2**31 - 1)
+
+        def select_one(kk, carry):
+            comb_v, new_v, new_i = carry
+            # max, masked-min argmax (lowest item index among ties —
+            # matches lax.top_k), index-keyed mask-out
+            m = jnp.max(comb_v, axis=1, keepdims=True)
+            ci = jnp.min(
+                jnp.where(comb_v == m, comb_i, int_max), axis=1,
+                keepdims=True,
+            )
+            put = out_lane == kk
+            new_v = jnp.where(put, m, new_v)
+            new_i = jnp.where(put, ci, new_i)
+            comb_v = jnp.where(comb_i == ci, NEG_INF, comb_v)
+            return comb_v, new_v, new_i
+
+        _, new_v, new_i = jax.lax.fori_loop(
+            0,
+            k,
+            select_one,
+            (
+                comb_v0,
+                jnp.full((tu, _RUN_LANES), NEG_INF, jnp.float32),
+                jnp.zeros((tu, _RUN_LANES), jnp.int32),
+            ),
+        )
+        out_v_ref[:] = new_v
+        out_i_ref[:] = new_i
         out_m3_ref[:] = run_m3[:]
 
 
@@ -202,8 +225,9 @@ def _fused_call(U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul):
             jax.ShapeDtypeStruct((n_u, _RUN_LANES), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_u, _RUN_LANES), jnp.float32),
-            pltpu.VMEM((block_u, _RUN_LANES), jnp.int32),
+            # merged candidate buffer: per-group top-2 from every item tile
+            pltpu.VMEM((block_u, 2 * _CHUNK * grid[1]), jnp.float32),
+            pltpu.VMEM((block_u, 2 * _CHUNK * grid[1]), jnp.int32),
             pltpu.VMEM((block_u, _RUN_LANES), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(

@@ -1,4 +1,4 @@
-"""Explicit all-to-all embedding lookup over a row-sharded table.
+"""Explicit all-to-all embedding lookup AND update over row-sharded tables.
 
 The distributed trainers lean on GSPMD to turn `table[idx]` into
 collective gathers, which is optimal on a single slice. On multi-host
@@ -6,10 +6,14 @@ pods the production pattern is an EXPLICIT exchange — deduplicate the
 indices each device needs, route each unique index to the shard that
 owns the row (fixed per-destination capacity so shapes stay static),
 gather locally, route the rows back — the parameter-server step rebuilt
-on ``shard_map`` + ``lax.all_to_all`` (SURVEY §2.4 / §7 "hard parts":
-dedup + capacity + overflow accounting; the reference has no
-distribution at all, its only gather is a host ``embedding_lookup``,
-reference single/bpr.py:81-86).
+on ``shard_map`` + ``lax.all_to_all`` (SURVEY §2.4 "lookup/update via
+all-to-all" / §7 "hard parts": dedup + capacity + overflow accounting;
+the reference has no distribution at all, its only gather is a host
+``embedding_lookup``, reference single/bpr.py:81-86). Both directions
+live here: :func:`sharded_lookup` (forward gather, serving path) and
+:func:`sharded_update` (reverse scatter-add, training path), plus the
+owner-side RMSProp variant the explicit-exchange trainer compiles
+(parallel/train_step.py ``exchange="explicit"``).
 
 Layout (all static shapes; S shards, per-device batch b):
   1. sort + dedup the local indices (pad slots carry a sentinel);
@@ -24,8 +28,10 @@ Layout (all static shapes; S shards, per-device batch b):
 Returns per-device overflow counts so callers can size ``capacity`` (a
 power-law-degree batch needs capacity ≈ batch/S only when indices are
 uniformly owned — skewed batches need headroom; callers retry or resize
-on overflow, they never get silently-wrong gradients: dropped rows are
-zero, exactly like a masked-out example).
+on overflow — serving.TopKServer doubles its capacity and re-issues,
+bounded by capacity == local batch which can never overflow — and they
+never get silently-wrong results: dropped lookups return zero rows and
+dropped updates vanish atomically, exactly like a masked-out example).
 """
 
 from __future__ import annotations
@@ -56,17 +62,17 @@ def _dedup_sorted(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return uniq, seg
 
 
-def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
-              capacity):
-    """Per-device body (runs under shard_map)."""
-    table_local = table_local  # [rows_per_shard, k]
-    idx = idx_local.reshape(-1)  # [b]
-    uniq, seg = _dedup_sorted(idx)
+def _build_send(uniq, n_shards, rows_per_shard, capacity):
+    """Route sorted uniques into the [S, C] send buffer (shared by the
+    forward lookup and the reverse update).
+
+    uniq ascending => owner nondecreasing: destination runs are
+    contiguous; position within run = rank - first rank of that owner.
+    Returns (send_idx, dst_row, dst_col, ok, overflow).
+    """
     owner = jnp.where(
         uniq == _SENTINEL, n_shards, uniq // rows_per_shard
     ).astype(jnp.int32)
-    # uniq ascending => owner nondecreasing: destination runs are
-    # contiguous; position within run = rank - first rank of that owner
     start = jnp.searchsorted(
         owner, jnp.arange(n_shards, dtype=jnp.int32), side="left"
     )
@@ -75,12 +81,27 @@ def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
     ]
     ok = (uniq != _SENTINEL) & (pos_in_run < capacity)
     overflow = jnp.sum((uniq != _SENTINEL) & ~ok)
-    send = jnp.full((n_shards, capacity), _SENTINEL, jnp.int32)
     # not-ok entries scatter out of bounds so mode="drop" discards them
     # (clamping them instead would overwrite valid slots with sentinels)
-    send = send.at[
-        jnp.where(ok, owner, n_shards), jnp.where(ok, pos_in_run, capacity)
-    ].set(uniq, mode="drop")
+    dst_row = jnp.where(ok, owner, n_shards)
+    dst_col = jnp.where(ok, pos_in_run, capacity)
+    send = (
+        jnp.full((n_shards, capacity), _SENTINEL, jnp.int32)
+        .at[dst_row, dst_col]
+        .set(uniq, mode="drop")
+    )
+    return send, dst_row, dst_col, ok, overflow
+
+
+def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
+              capacity):
+    """Per-device body (runs under shard_map)."""
+    table_local = table_local  # [rows_per_shard, k]
+    idx = idx_local.reshape(-1)  # [b]
+    uniq, seg = _dedup_sorted(idx)
+    send, dst_row, dst_col, ok, overflow = _build_send(
+        uniq, n_shards, rows_per_shard, capacity
+    )
     # route requests to owners; serve; route rows back
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
     my_shard = jax.lax.axis_index(axis)
@@ -92,12 +113,13 @@ def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
         zero,
     )
     rows_back = jax.lax.all_to_all(served, axis, split_axis=0, concat_axis=0)
-    # reconstruct per-unique rows, then expand to occurrences
+    # reconstruct per-unique rows, then expand to occurrences (ok entries
+    # have dst_row = owner shard, dst_col = slot within its run)
     uniq_rows = jnp.where(
         ok[:, None],
         rows_back[
-            jnp.minimum(owner, n_shards - 1),
-            jnp.clip(pos_in_run, 0, capacity - 1),
+            jnp.minimum(dst_row, n_shards - 1),
+            jnp.minimum(dst_col, capacity - 1),
         ],
         zero,
     )
@@ -158,3 +180,161 @@ def sharded_lookup(
     )
     rows, overflow = jax.jit(fn)(table_d, idx_d)
     return rows, overflow
+
+
+# ---------------------------------------------------------------------------
+# reverse exchange: scatter-add updates back to owning shards
+# ---------------------------------------------------------------------------
+
+
+def _exchange_scatter(table_local, idx_local, rows_local, axis, n_shards,
+                      rows_per_shard, capacity):
+    """Per-device reverse-exchange body (runs under shard_map).
+
+    Routes per-occurrence ``rows_local`` contributions for ``idx_local``
+    back to the shard that owns each row and scatter-ADDS them there —
+    the mirror image of ``_exchange``: local dedup first (occurrences of
+    the same row are segment-summed before they travel), then the same
+    run-offset [S, C] send buffer for the indices and a [S, C, k] buffer
+    for the summed rows, one ``all_to_all`` each, and an owner-side
+    scatter-add (contributions for one row arriving from several source
+    devices accumulate). Dropped/overflow uniques lose their
+    contribution — exactly like dropping those examples from the batch —
+    and are counted in the returned overflow.
+    """
+    k = table_local.shape[1]
+    idx = idx_local.reshape(-1)
+    b = idx.shape[0]
+    uniq, seg = _dedup_sorted(idx)
+    gsum = (
+        jnp.zeros((b, k), rows_local.dtype)
+        .at[seg]
+        .add(rows_local.reshape(b, k))
+    )
+    send_idx, dst_row, dst_col, ok, overflow = _build_send(
+        uniq, n_shards, rows_per_shard, capacity
+    )
+    send_rows = (
+        jnp.zeros((n_shards, capacity, k), rows_local.dtype)
+        .at[dst_row, dst_col]
+        .set(gsum, mode="drop")
+    )
+    recv_idx = jax.lax.all_to_all(send_idx, axis, split_axis=0, concat_axis=0)
+    recv_rows = jax.lax.all_to_all(
+        send_rows, axis, split_axis=0, concat_axis=0
+    )
+    my_shard = jax.lax.axis_index(axis)
+    local = jnp.where(
+        recv_idx == _SENTINEL, _SENTINEL, recv_idx - my_shard * rows_per_shard
+    ).reshape(-1)
+    table_local = table_local.at[local].add(
+        recv_rows.reshape(-1, k), mode="drop"
+    )
+    return table_local, overflow.reshape(1).astype(jnp.int32)
+
+
+def _exchange_rmsprop(table_local, acc_local, idx_local, grads_local, axis,
+                      n_shards, rows_per_shard, capacity, lr, decay, eps):
+    """Reverse exchange with owner-side sparse RMSProp (one accumulator
+    update per globally-touched row on the globally-summed gradient —
+    TF IndexedSlices semantics, identical to the GSPMD chunk's planned
+    update in ops/sparse_update.py, so explicit-exchange training matches
+    the GSPMD path's numerics)."""
+    from ..ops.sparse_update import apply_planned_rmsprop, planned_rows
+
+    k = table_local.shape[1]
+    idx = idx_local.reshape(-1)
+    b = idx.shape[0]
+    uniq, seg = _dedup_sorted(idx)
+    gsum = (
+        jnp.zeros((b, k), grads_local.dtype)
+        .at[seg]
+        .add(grads_local.reshape(b, k))
+    )
+    send_idx, dst_row, dst_col, ok, overflow = _build_send(
+        uniq, n_shards, rows_per_shard, capacity
+    )
+    send_rows = (
+        jnp.zeros((n_shards, capacity, k), grads_local.dtype)
+        .at[dst_row, dst_col]
+        .set(gsum, mode="drop")
+    )
+    recv_idx = jax.lax.all_to_all(send_idx, axis, split_axis=0, concat_axis=0)
+    recv_rows = jax.lax.all_to_all(
+        send_rows, axis, split_axis=0, concat_axis=0
+    )
+    my_shard = jax.lax.axis_index(axis)
+    flat_idx = jnp.where(
+        recv_idx == _SENTINEL, _SENTINEL, recv_idx - my_shard * rows_per_shard
+    ).reshape(-1)
+    # second dedup across SOURCE devices: a row requested by several
+    # devices must see ONE RMSProp step on the sum of their gradients
+    uniq2, seg2 = _dedup_sorted(flat_idx)
+    g2 = (
+        jnp.zeros((flat_idx.shape[0], k), grads_local.dtype)
+        .at[seg2]
+        .add(recv_rows.reshape(-1, k))
+    )
+    tab_rows, acc_rows = planned_rows(table_local, acc_local, uniq2)
+    table_local, acc_local = apply_planned_rmsprop(
+        table_local, acc_local, uniq2, tab_rows, acc_rows, g2, lr,
+        decay, eps,
+    )
+    return table_local, acc_local, overflow.reshape(1).astype(jnp.int32)
+
+
+def sharded_update(
+    table,
+    idx,
+    rows,
+    mesh: Mesh,
+    axis: str = "mp",
+    capacity: int = 0,
+):
+    """Scatter-add ``rows`` into ``table`` at ``idx`` via explicit
+    deduplicated all-to-all exchange — the training-update mirror of
+    :func:`sharded_lookup` (SURVEY §2.4 "lookup/update via all-to-all").
+
+    Args:
+      table: [n_rows, k] row-sharded (or shardable) over ``axis``.
+      idx: int32 [B] target rows (duplicates allowed — contributions sum).
+      rows: [B, k] contributions, split over ``axis`` with ``idx``.
+      capacity: per-destination slots per device; 0 picks the same
+        ``2 * ceil(B_local / n_shards)`` default as the lookup.
+
+    Returns (updated table [n_rows, k], overflow int32[n_shards] —
+    uniques whose contribution was dropped, per source device; zero means
+    the update is exact).
+    """
+    n_shards = int(np.prod([
+        s for s, n in zip(mesh.devices.shape, mesh.axis_names) if n == axis
+    ]))
+    n_rows, _ = table.shape
+    assert n_rows % n_shards == 0, (n_rows, n_shards)
+    b_total = idx.shape[0]
+    assert b_total % n_shards == 0, (b_total, n_shards)
+    if capacity <= 0:
+        capacity = 2 * (-(-(b_total // n_shards) // n_shards))
+    rows_per_shard = n_rows // n_shards
+    body = partial(
+        _exchange_scatter,
+        axis=axis,
+        n_shards=n_shards,
+        rows_per_shard=rows_per_shard,
+        capacity=capacity,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None)),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    table_d = jax.device_put(table, NamedSharding(mesh, P(axis, None)))
+    idx_d = jax.device_put(
+        jnp.asarray(idx, jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    rows_d = jax.device_put(
+        jnp.asarray(rows), NamedSharding(mesh, P(axis, None))
+    )
+    new_table, overflow = jax.jit(fn)(table_d, idx_d, rows_d)
+    return new_table, overflow

@@ -117,11 +117,165 @@ class _DistributedPairwiseTrainer:
 
 
 class DistributedBPRTrainer(_DistributedPairwiseTrainer):
-    """BPR SGD with tables row-sharded over "mp", batch over "dp"."""
+    """BPR SGD with tables row-sharded over "mp".
+
+    Two communication modes (SURVEY §2.4 "lookup/update via all-to-all"):
+
+    * ``exchange="gspmd"`` (default): batch over "dp", the chunk body's
+      table gathers/scatters become GSPMD-inserted collectives — optimal
+      within an ICI-connected slice.
+    * ``exchange="explicit"``: batch split over "mp"; every step's row
+      gathers run through the deduplicated all-to-all lookup and every
+      update routes summed gradients back to the owning shard where ONE
+      RMSProp step applies per touched row (parallel/lookup.py
+      ``_exchange`` / ``_exchange_rmsprop``) — the parameter-server
+      pattern for pod-scale tables where requests must ride explicit
+      DCN-friendly exchanges. Numerically equivalent to the GSPMD mode
+      (same sampled triplets, same per-row summed gradients, same
+      planned-RMSProp semantics; tests/test_parallel.py asserts it).
+      Per-chunk overflow counts (uniques dropped by the fixed
+      ``capacity``) are accumulated in ``last_overflow``.
+    """
 
     PARAM_SPECS = BPR_PARAM_SPECS
 
+    def __init__(
+        self,
+        model,
+        mesh: Mesh,
+        batch_size: int = 4096,
+        scan_steps: int = 8,
+        exchange: str = "gspmd",
+        capacity: int = 0,
+    ):
+        assert exchange in ("gspmd", "explicit"), exchange
+        self.exchange = exchange
+        self.capacity = capacity
+        self.last_overflow = 0
+        super().__init__(model, mesh, batch_size, scan_steps)
+
     def _build_step(self):
+        if self.exchange == "explicit":
+            return self._build_explicit_step()
+        return self._build_gspmd_step()
+
+    def train_chunk(self, key: jax.Array) -> float:
+        if self.exchange != "explicit":
+            return super().train_chunk(key)
+        self.params, self.ms, loss, ovf = self._step(
+            self.params, self.ms, key, self.sampler_state
+        )
+        from .distributed import fetch  # multi-host shards need a gather
+
+        self.last_overflow = int(np.sum(np.asarray(fetch(ovf))))
+        return float(loss)
+
+    def _build_explicit_step(self):
+        from ..models.bpr import _pairwise_loss
+        from ..ops.sampling import _sample_triplets
+        from .lookup import _exchange, _exchange_rmsprop
+
+        model = self.model
+        mesh = self.mesh
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        S = int(axes.get("mp", 1))
+        assert int(axes.get("dp", 1)) == 1, (
+            "explicit exchange shards the batch over 'mp'; use a pure-mp "
+            "mesh (dp=1)"
+        )
+        assert self.batch_size % S == 0, (self.batch_size, S)
+        bl = self.batch_size // S
+        rows_u = model.n_users // S
+        rows_i = model.n_items // S
+        n_steps = self.scan_steps
+        k = model.k
+        lu, li, lj, lb, lr = model.lu, model.li, model.lj, model.lb, model.lr
+        mode = model.mode
+        cap_u = self.capacity or max(8, 2 * (-(-bl // S)))
+        cap_ij = 2 * cap_u  # i and j travel together: twice the indices
+        n_items, k_candidates = model.n_items, model.k_candidates
+        batch = self.batch_size
+
+        def body(ue, iet, ms_u, ms_it, u_s, i_s, j_s):
+            def step(carry, xs):
+                ue, iet, ms_u, ms_it, ovf = carry
+                u, i, j = xs
+                pu, o1 = _exchange(ue, u, "mp", S, rows_u, cap_u)
+                pit, o2 = _exchange(iet, i, "mp", S, rows_i, cap_u)
+                pjt, o3 = _exchange(iet, j, "mp", S, rows_i, cap_u)
+                loss, grads = jax.value_and_grad(
+                    _pairwise_loss, argnums=(0, 1, 2)
+                )(pu, pit, pjt, lu, li, lj, lb, mode, k)
+                loss = jax.lax.psum(loss, "mp")
+                ue, ms_u, o4 = _exchange_rmsprop(
+                    ue, ms_u, u, grads[0], "mp", S, rows_u, cap_u,
+                    lr, 0.9, 1e-10,
+                )
+                ij = jnp.concatenate([i, j])
+                gij = jnp.concatenate([grads[1], grads[2]], axis=0)
+                iet, ms_it, o5 = _exchange_rmsprop(
+                    iet, ms_it, ij, gij, "mp", S, rows_i, cap_ij,
+                    lr, 0.9, 1e-10,
+                )
+                ovf = ovf + o1 + o2 + o3 + o4 + o5
+                return (ue, iet, ms_u, ms_it, ovf), loss
+
+            # overflow counts are per-device (mp-varying) outputs; the
+            # zero init must carry the same varying type for the scan
+            ovf0 = jax.lax.pcast(
+                jnp.zeros((1,), jnp.int32), ("mp",), to="varying"
+            )
+            init = (ue, iet, ms_u, ms_it, ovf0)
+            (ue, iet, ms_u, ms_it, ovf), losses = jax.lax.scan(
+                step, init, (u_s, i_s, j_s)
+            )
+            return ue, iet, ms_u, ms_it, jnp.sum(losses), ovf
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("mp", None), P("mp", None), P("mp", None), P("mp", None),
+                P(None, "mp"), P(None, "mp"), P(None, "mp"),
+            ),
+            out_specs=(
+                P("mp", None), P("mp", None), P("mp", None), P("mp", None),
+                P(), P("mp"),
+            ),
+        )
+
+        def step(params, ms, key, state):
+            u_all, i_all, j_all = _sample_triplets(
+                key, state["user_rows"], state["flat_pos"],
+                state["pos_bitmap"], n_steps * batch, n_items,
+                k_candidates,
+            )
+            iet = jnp.concatenate(
+                [params["ie"], params["ib"][:, None]], axis=1
+            )
+            mst = jnp.concatenate([ms["ie"], ms["ib"][:, None]], axis=1)
+            ue, iet, ms_u, ms_it, loss, ovf = shard_body(
+                params["ue"], iet, ms["ue"], mst,
+                u_all.reshape(n_steps, batch),
+                i_all.reshape(n_steps, batch),
+                j_all.reshape(n_steps, batch),
+            )
+            new_params = {"ue": ue, "ie": iet[:, :k], "ib": iet[:, k]}
+            new_ms = {"ue": ms_u, "ie": ms_it[:, :k], "ib": ms_it[:, k]}
+            return new_params, new_ms, loss, ovf
+
+        param_shardings = self._param_shardings()
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(
+            step,
+            out_shardings=(
+                param_shardings, param_shardings, repl,
+                NamedSharding(self.mesh, P("mp")),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def _build_gspmd_step(self):
         from ..models.bpr import _chunk_impl
 
         model = self.model

@@ -144,10 +144,32 @@ class TopKServer:
             n_shards = self.U.sharding.mesh.shape["mp"]
             pad = (-len(uid)) % n_shards
             uid_p = np.pad(uid, (0, pad))
-            u_rows, ovf_u = sharded_lookup(self.U, uid_p, self.mesh)
-            s_rows, ovf_s = sharded_lookup(self.seen, uid_p, self.mesh)
-            assert int(np.asarray(ovf_u).sum()) == 0, "lookup overflow"
-            assert int(np.asarray(ovf_s).sum()) == 0, "lookup overflow"
+            b_local = len(uid_p) // n_shards
+            # retry-on-overflow with doubling capacity (the documented
+            # contract of parallel/lookup.py): a skewed batch — e.g.
+            # every queried user owned by one shard — overflows the
+            # uniform-spread default; capacity == b_local can never
+            # overflow (a device requests at most b_local uniques), so
+            # the loop is bounded and the final gather is exact. The
+            # grown capacity sticks for subsequent queries.
+            if not hasattr(self, "_lookup_capacity"):
+                self._lookup_capacity = 2 * (-(-b_local // n_shards))
+            from .parallel.distributed import fetch
+
+            while True:
+                cap = self._lookup_capacity
+                u_rows, ovf_u = sharded_lookup(
+                    self.U, uid_p, self.mesh, capacity=cap
+                )
+                s_rows, ovf_s = sharded_lookup(
+                    self.seen, uid_p, self.mesh, capacity=cap
+                )
+                overflow = int(np.asarray(fetch(ovf_u)).sum()) + int(
+                    np.asarray(fetch(ovf_s)).sum()
+                )
+                if overflow == 0 or cap >= b_local:
+                    break
+                self._lookup_capacity = min(2 * cap, b_local)
             return _query(
                 u_rows, self.V, self.bias, s_rows, k, method, self.n_items
             )
