@@ -236,6 +236,29 @@ def main() -> None:
     except Exception as e:  # diagnostics must never break the contract
         print(f"extra bench failed: {e}", file=sys.stderr)
 
+    # ALS (WMF) iteration at the same MovieLens-scale fold: the reference
+    # divisor is its 69,878 sequential k x k host solves per sweep
+    # (reference single/wmf.py:70-97), minted on this machine's CPU by
+    # benchmarks/reference_als_baseline.py — see BASELINE.md ALS rows.
+    try:
+        from topk_rec_tpu.models import WMF
+
+        wmf = WMF(k=50, seed=0)
+        wmf.set_interactions(inter)
+        wmf._sweeps(prior=None)  # compile + warm (both half-sweeps)
+        t0 = time.time()
+        wmf._sweeps(prior=None)
+        wmf._sweeps(prior=None)
+        dt = (time.time() - t0) / 2
+        print(
+            f"extra: wmf als {dt:.2f} s/iteration "
+            "(69878x10380 nnz=4M k=50; reference CPU divisor in "
+            "BASELINE.md 'ALS iteration' rows)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"als extra failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

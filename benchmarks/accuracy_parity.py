@@ -240,6 +240,23 @@ def train_side(
                 seed=seed, verbose=cfg["verbose"],
             )
             export_embeddings(mdir, ue, ie, bi)
+        elif model == "vbpr":
+            fue, fie, fib = rm.train_vbpr_reference(
+                fold["n_users"], fold["n_items"], _user_items(fold),
+                fold["feat"], epochs=cfg["bpr_epochs"], batch_size=256,
+                epoch_sample_limit=cfg["bpr_limit"], k=cfg["k"],
+                seed=seed, verbose=cfg["verbose"],
+            )
+            export_embeddings(mdir, fue, fie, fib)
+        elif model == "dpm":
+            fue, fie = rm.train_dpm_reference(
+                fold["n_users"], fold["n_items"], fold["pos_u"],
+                fold["pos_i"], fold["feat"], k=cfg["k"],
+                max_iter=cfg["cer_iters"], seed=seed,
+                hidden=cfg.get("dpm_hidden", (2000, 1000)),
+                verbose=cfg["verbose"],
+            )
+            export_embeddings(mdir, fue, fie)
         elif model == "wmf":
             fue, fie = rm.train_wmf_reference(
                 fold["n_users"], fold["n_items"], fold["pos_u"],
@@ -258,7 +275,7 @@ def train_side(
         else:
             raise ValueError(model)
     else:
-        from topk_rec_tpu.models import BPR, CER, WMF
+        from topk_rec_tpu.models import BPR, CER, DPM, VBPR, WMF, MLPEncoder
 
         inter = _interactions(fold)
         if model == "bpr":
@@ -270,6 +287,27 @@ def train_side(
                 verbose=cfg["verbose"],
             )
             export_embeddings(mdir, m.fue, m.fie, m.fib.reshape(-1))
+        elif model == "vbpr":
+            m = VBPR(k=cfg["k"], d=fold["feat"].shape[1], seed=seed)
+            m.set_interactions(inter)
+            m.set_features(fold["feat"])
+            m.train(
+                epochs=cfg["bpr_epochs"], batch_size=256,
+                epoch_sample_limit=cfg["bpr_limit"],
+                verbose=cfg["verbose"],
+            )
+            export_embeddings(mdir, m.fue, m.fie, m.fib.reshape(-1))
+        elif model == "dpm":
+            m = DPM(k=cfg["k"], d=fold["feat"].shape[1], seed=seed)
+            m.set_interactions(inter)
+            m.set_features(fold["feat"])
+            enc = MLPEncoder(
+                cfg["k"], fold["feat"].shape[1],
+                hidden_layers=cfg.get("dpm_hidden", (2000, 1000)),
+                seed=seed,
+            )
+            m.train(enc, max_iter=cfg["cer_iters"], verbose=cfg["verbose"])
+            export_embeddings(mdir, m.fue, m.fie)
         elif model == "wmf":
             m = WMF(k=cfg["k"], seed=seed)
             m.set_interactions(inter)
@@ -288,7 +326,13 @@ def train_side(
     return time.time() - t0
 
 
-MODEL_SCENARIOS = {"bpr": ["im"], "wmf": ["im"], "cer": ["im", "om"]}
+MODEL_SCENARIOS = {
+    "bpr": ["im"],
+    "wmf": ["im"],
+    "vbpr": ["im", "om"],
+    "cer": ["im", "om"],
+    "dpm": ["im", "om"],
+}
 
 
 def run_parity(
@@ -349,7 +393,7 @@ def summarize(results: dict) -> List[str]:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="bpr,wmf,cer")
+    ap.add_argument("--models", default="bpr,vbpr,wmf,cer,dpm")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--root", default="/tmp/parity_fold")
     ap.add_argument("--quick", action="store_true",

@@ -92,6 +92,28 @@ def test_fused_adversarial_group_collision():
     assert list(np.asarray(idx)[0]) == [5, 133, 261, 7]
 
 
+def test_fused_adversarial_depth3_collision():
+    """FOUR of the top-k inside ONE lane-strided group: depth-3 (top-3
+    per group) visibility misses the fourth, the m4 suspect detector must
+    fire and the in-jit exact fallback must repair the row."""
+    n_i, k = 640, 5  # one tile, C=5 chunks -> groups of 5
+    d = 1
+    U = np.ones((8, d), np.float32)
+    V = np.full((n_i, d), -5.0, np.float32)
+    # group j=9 = lanes {9, 137, 265, 393, 521}: four carry top scores
+    V[9, 0], V[137, 0], V[265, 0], V[393, 0] = 100.0, 99.0, 98.0, 97.0
+    V[11, 0] = 50.0  # 5th best lives elsewhere
+    mask = np.zeros((8, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=8, block_i=640, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    assert list(np.asarray(idx)[0]) == [9, 137, 265, 393, 11]
+
+
 def test_fused_all_ties_full_fallback():
     """Fully tied scores trigger the >= suspect condition on every row;
     the overflow path must fall back to full lax.top_k (identical order)."""

@@ -18,30 +18,31 @@ lane-strided across the tile's 128-wide chunks (group j = lanes
 {j, j+128, j+256, …}), so every reduction step is a contiguous 128-lane
 slice, which Mosaic vectorizes natively (adjacent-lane reshapes/strided
 slices do NOT lower) — then ran k extraction rounds per item tile over
-[run ‖ m1 ‖ m2] = 384 lanes. v3 keeps v2's group stats but APPENDS each
-tile's candidates to a [tu, 2·128·n_tiles] scratch buffer and runs the k
-extraction rounds ONCE at the last tile: rounds dominate the kernel
-(measured 0.27 ms/round vs a 14.3 ms everything-else floor,
-benchmarks/probe_topk_pieces.py) and their cost is set by the per-round
-cross-lane reductions, nearly independent of candidate width — so one
-sweep of k rounds over 768 lanes beats three sweeps over 384.
+[run ‖ m1 ‖ m2] = 384 lanes. v3 deepens the groups to TOP-3 and APPENDS
+each tile's candidates to a [tu, 3·128·n_tiles] scratch buffer, running
+the k extraction rounds ONCE at the last tile: rounds dominate the
+kernel (measured 0.27 ms/round vs a 14.3 ms everything-else floor,
+benchmarks/probe_topk_pieces.py), so one sweep over the merged buffer
+beats a sweep per tile; and depth-3 visibility shrinks the suspect rate
+(below) ~70x, which shrinks the XLA-side re-rank — formerly ~15 ms of
+the total — to noise.
 
-Top-2 visibility is exact unless one group contributes ≥3 of a row's
+Top-3 visibility is exact unless one group contributes ≥4 of a row's
 top-k. That event is DETECTED exactly: the kernel also tracks the row-max
-of every group's 3rd-best value (run_m3); a row is suspect iff
-run_m3 ≥ its k-th selected value (an invisible 3rd-in-group element could
-outrank the returned k-th — see the inequality chain in ``_kernel``).
-Suspect rows (≈3.5% for random placement at k=30, group 32 — the
-default block_i=4096 tiling; ties also trigger) are re-ranked exactly by
-a bounded XLA fallback inside the same jit; if suspects overflow the
+of every group's 4th-best value (run_m3 buffer, now holding m4); a row is
+suspect iff that value ≥ its k-th selected value (an invisible
+4th-in-group element could outrank the returned k-th). Suspect rows
+(≈0.05% for random placement at k=30, group 32 — quadruple collisions
+over 384 group-cells; ties also trigger) are re-ranked exactly by a
+bounded XLA fallback inside the same jit; if suspects overflow the
 fallback capacity, the whole batch falls back to full ``lax.top_k``.
 Results therefore always equal lax.top_k's (ties included, via the ≥
 trigger).
 
 Measured on v5e at 69878x10380xd50, k=30 (bf16 matmul): v1 ~95 ms
-(VPU-bound full-width rounds), v2 39.5 ms = 18.3G scored pairs/s — 2x
-the unfused XLA matmul+lax.top_k pipeline (80 ms), with the score matrix
-never touching HBM.
+(VPU-bound full-width rounds), v2 38.5-53 ms (per-tile extraction +
+depth-2 trigger), v3 see BASELINE.md — with the score matrix never
+touching HBM at any version.
 
 Grid: (user_tiles, item_tiles), item axis minor; the running buffers live
 in VMEM scratch and persist across the item-tile sweep (TPU grids execute
@@ -124,26 +125,53 @@ def _kernel(
             m3 = jnp.maximum(
                 m3, jnp.where((p1 == c) | (p2 == c), NEG_INF, chunks[c])
             )
-        row_m3 = jnp.max(m3, axis=1, keepdims=True)
-        run_m3[:] = jnp.maximum(run_m3[:], jnp.broadcast_to(row_m3, run_m3.shape))
+        p3 = jnp.full((tu, _CHUNK), big, jnp.int32)
+        for c in range(C - 1, -1, -1):
+            p3 = jnp.where(
+                (chunks[c] == m3) & (p1 != c) & (p2 != c), jnp.int32(c), p3
+            )
+    else:
+        m3 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
+        p3 = jnp.full((tu, _CHUNK), big, jnp.int32)
+    if C > 3:
+        # m4: best value invisible beyond the per-group top-3 — the
+        # exactness trigger (suspect iff m4 >= k-th selected value).
+        # Depth 3 instead of v2's depth 2 cuts the suspect rate from
+        # ~3.5% (C(30,3) triple collisions over 384 group-cells) to
+        # ~0.05% (quadruple collisions), which shrinks the XLA-side
+        # re-rank capacity ~17x — the re-rank was ~15 ms of the total
+        # (postproc decomposition probe, round 3).
+        m4 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
+        for c in range(C):
+            m4 = jnp.maximum(
+                m4,
+                jnp.where(
+                    (p1 == c) | (p2 == c) | (p3 == c), NEG_INF, chunks[c]
+                ),
+            )
+        row_m4 = jnp.max(m4, axis=1, keepdims=True)
+        run_m3[:] = jnp.maximum(run_m3[:], jnp.broadcast_to(row_m4, run_m3.shape))
 
     item_base = j * ti
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (tu, _CHUNK), 1)
     gcol1 = item_base + p1 * _CHUNK + lane128
     gcol2 = item_base + jnp.minimum(p2, big - 1) * _CHUNK + lane128
-    # dead m2 slots (value NEG_INF) keep a unique in-tile column so the
-    # index-keyed mask-out below can never alias a live lane.
-    # v3: APPEND this tile's per-group top-2 candidates to the scratch
+    gcol3 = item_base + jnp.minimum(p3, big - 1) * _CHUNK + lane128
+    # dead m2/m3 slots (value NEG_INF) keep a deterministic in-tile column
+    # so the index-keyed mask-out below can never alias a live lane.
+    # v3: APPEND this tile's per-group top-3 candidates to the scratch
     # buffer instead of merging via per-tile extraction rounds — the k
-    # extraction rounds then run ONCE over the merged [tu, 2*128*n_tiles]
+    # extraction rounds then run ONCE over the merged [tu, 3*128*n_tiles]
     # candidates at the last tile (v2 ran them per item tile; at 3 tiles
     # that tripled the round count, and rounds dominate: measured
     # 0.27 ms/round vs a 14.3 ms everything-else floor, probe_topk_pieces)
-    base = j * (2 * _CHUNK)
+    base = j * (3 * _CHUNK)
     cand_v[:, pl.ds(base, _CHUNK)] = m1
     cand_v[:, pl.ds(base + _CHUNK, _CHUNK)] = m2
+    cand_v[:, pl.ds(base + 2 * _CHUNK, _CHUNK)] = m3
     cand_i[:, pl.ds(base, _CHUNK)] = gcol1
     cand_i[:, pl.ds(base + _CHUNK, _CHUNK)] = gcol2
+    cand_i[:, pl.ds(base + 2 * _CHUNK, _CHUNK)] = gcol3
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _extract():
@@ -225,9 +253,9 @@ def _fused_call(U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul):
             jax.ShapeDtypeStruct((n_u, _RUN_LANES), jnp.float32),
         ),
         scratch_shapes=[
-            # merged candidate buffer: per-group top-2 from every item tile
-            pltpu.VMEM((block_u, 2 * _CHUNK * grid[1]), jnp.float32),
-            pltpu.VMEM((block_u, 2 * _CHUNK * grid[1]), jnp.int32),
+            # merged candidate buffer: per-group top-3 from every item tile
+            pltpu.VMEM((block_u, 3 * _CHUNK * grid[1]), jnp.float32),
+            pltpu.VMEM((block_u, 3 * _CHUNK * grid[1]), jnp.int32),
             pltpu.VMEM((block_u, _RUN_LANES), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -255,7 +283,9 @@ def _fused_call(U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul):
     # returned k-th (ties included via >=) are re-ranked by full top_k
     suspect = out_m3[:, 0] >= vals[:, k - 1]
     n_suspect = jnp.sum(suspect.astype(jnp.int32))
-    cap = min(n_u, max(256, ((n_u // 16) + 255) // 256 * 256))
+    # depth-3 visibility: quadruple-collision suspects ~0.05% of rows at
+    # the serving shape (vs 3.5% at depth 2); 1/64 capacity is ~30x that
+    cap = min(n_u, max(256, ((n_u // 64) + 255) // 256 * 256))
     bad = jnp.nonzero(suspect, size=cap, fill_value=0)[0]
     fv, fi = jax.lax.top_k(rescore(U[bad], mask[bad]), k)
     live = suspect[bad][:, None]
