@@ -256,6 +256,50 @@ def main() -> None:
             "BASELINE.md 'ALS iteration' rows)",
             file=sys.stderr,
         )
+        # CER iteration at the reference's d=20000 (the Woodbury-CG
+        # E-solve path; reference divisor 122 s/iteration, BASELINE.md)
+        from topk_rec_tpu.models import CER
+
+        rng2 = np.random.default_rng(7)
+        cer = CER(k=50, d=20000, seed=0)
+        cer._user_plan = wmf._user_plan  # same fold: reuse the plans
+        cer._item_plan = wmf._item_plan
+        cer.inter = inter
+        cer.set_features(
+            rng2.standard_normal((n_items, 20000)).astype(np.float32)
+        )
+        cer.fue = wmf.fue.copy()
+        cer.fie = wmf.fie.copy()
+
+        def cer_iter():
+            import jax.numpy as jnp
+
+            Fe = jnp.dot(
+                cer._feat_device(), jnp.asarray(cer.E),
+                preferred_element_type=jnp.float32,
+            )
+            cer.fue, _ = cer._half_sweep(
+                cer._user_plan, cer.fue, cer.fie,
+                jnp.asarray(inter.rated_items), cer.a, cer.b, cer.lu,
+            )
+            cer.fie, _ = cer._half_sweep(
+                cer._item_plan, cer.fie, cer.fue,
+                jnp.asarray(inter.rated_users), cer.a, cer.b, cer.lv,
+                prior=Fe,
+            )
+            E_dev = cer._solve_E(jnp.asarray(cer.fie))
+            cer.E = np.asarray(E_dev)
+
+        cer.E = rng2.standard_normal((20000, 50)).astype(np.float32)
+        cer_iter()  # compile + warm
+        t0 = time.time()
+        cer_iter()
+        dt_cer = time.time() - t0
+        print(
+            f"extra: cer als {dt_cer:.2f} s/iteration "
+            "(d=20000 Woodbury-CG E-solve; reference divisor 122 s)",
+            file=sys.stderr,
+        )
     except Exception as e:
         print(f"als extra failed: {e}", file=sys.stderr)
 
