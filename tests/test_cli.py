@@ -313,3 +313,49 @@ def test_train_with_mesh(fold_dir, tmp_path, capsys):
     for line in lines:
         vals = [float(x) for x in line.split(",")[1:]]
         assert all(0.0 <= v <= 1.0 for v in vals) and vals == sorted(vals)
+
+
+def test_train_bpr_explicit_exchange_mesh(tmp_path):
+    """--exchange explicit routes the distributed BPR epoch loop through
+    the all-to-all lookup/update trainer; exported embeddings must be
+    finite and the run must complete without overflow asserts. (Own fold:
+    explicit mode needs a pure-mp mesh, so user/item counts must divide
+    the 8-device axis.)"""
+    root = tmp_path / "fold8"
+    root.mkdir()
+    inter = synthetic_interactions(64, 48, 900, seed=9)
+    uid_names = [f"u{i}" for i in range(64)]
+    vid_names = [f"v{i}" for i in range(48)]
+    (root / "uid").write_text("\n".join(uid_names) + "\n")
+    (root / "vid").write_text("\n".join(vid_names) + "\n")
+    indptr, flat = inter.user_csr
+    lines = []
+    for u in range(64):
+        items = flat[indptr[u]:indptr[u + 1]]
+        if len(items):
+            lines.append(",".join(
+                [uid_names[u]] + [f"{vid_names[i]}:1" for i in items]))
+    (root / "f0tr.txt").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "bpr_explicit")
+    rc = main([
+        "train", "--model", "bpr", "-d", str(root), "-o", out,
+        "--k", "6", "--epochs", "1", "--batch-size", "64",
+        "--mesh", "1x8", "--exchange", "explicit",
+    ])
+    assert rc == 0
+    from topk_rec_tpu.data.io import read_dat
+
+    U = read_dat(os.path.join(out, "final-U.dat"))
+    assert np.isfinite(U).all() and np.abs(U).sum() > 0
+
+
+def test_train_explicit_exchange_rejected_for_vbpr(fold_dir, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="explicit"):
+        main([
+            "train", "--model", "vbpr", "-d", str(fold_dir),
+            "-o", str(tmp_path / "v"), "--content", "meta.pkl",
+            "--k", "6", "--epochs", "1", "--mesh", "1x8",
+            "--exchange", "explicit",
+        ])

@@ -168,12 +168,13 @@ def _train_pairwise_distributed(model, mesh, cfg: TrainConfig):
     batch_limit = int(limit) // cfg.batch_size + 1
     scan_steps = min(64, batch_limit)
     n_chunks = max(1, -(-batch_limit // scan_steps))
-    cls = (
-        DistributedVBPRTrainer
-        if type(model).__name__ == "VBPR"
-        else DistributedBPRTrainer
+    is_vbpr = type(model).__name__ == "VBPR"
+    cls = DistributedVBPRTrainer if is_vbpr else DistributedBPRTrainer
+    extra = {} if is_vbpr else {"exchange": cfg.exchange}
+    trainer = cls(
+        model, mesh, batch_size=cfg.batch_size, scan_steps=scan_steps,
+        **extra,
     )
-    trainer = cls(model, mesh, batch_size=cfg.batch_size, scan_steps=scan_steps)
     key = jax.random.PRNGKey(model.seed)
     for eid in range(cfg.epochs):
         t0 = time.time()
@@ -204,6 +205,11 @@ def train_from_config(cfg: TrainConfig, mesh=None):
         raise SystemExit(
             f"--theta-init is only consumed by --model wmf "
             f"(got --model {mc.model})"
+        )
+    if cfg.exchange == "explicit" and mc.model != "bpr":
+        raise SystemExit(
+            "--exchange explicit is implemented for --model bpr "
+            "(the other distributed paths ride GSPMD collectives)"
         )
     model = build_model(mc, mesh=mesh)
     model.load_training_data(
@@ -300,6 +306,7 @@ def cmd_train(args) -> int:
         theta_init=args.theta_init,
         ckpt_dir=args.ckpt_dir,
         ckpt_every=args.ckpt_every,
+        exchange=args.exchange,
     )
     if args.coordinator or os.environ.get("TKR_COORDINATOR"):
         # multi-host: join the coordination service before any backend use
@@ -463,6 +470,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help='device mesh for distributed training: "auto" '
                          '(all devices) or "DPxMP" (e.g. 2x4); tables '
                          'row-shard over mp, batches over dp')
+    pt.add_argument("--exchange", default=_TC.exchange,
+                    choices=["gspmd", "explicit"],
+                    help="distributed BPR communication: GSPMD-inserted "
+                         "collectives (slice-optimal) or the explicit "
+                         "deduplicated all-to-all lookup/update exchange "
+                         "(pod-scale parameter-server pattern; requires "
+                         "a pure-mp mesh, e.g. --mesh 1x8)")
     pt.add_argument("--coordinator", default=None,
                     help="multi-host: coordination service address "
                          "host:port (jax.distributed)")

@@ -67,6 +67,7 @@ class TrainConfig:
     theta_init: Optional[str] = None   # item-prior matrix file (cr --theta_init)
     ckpt_dir: Optional[str] = None     # native crash-resume checkpoints
     ckpt_every: int = 1                # epochs between native checkpoints
+    exchange: str = "gspmd"            # distributed BPR comms: gspmd | explicit
 
 
 @dataclass
