@@ -120,10 +120,24 @@ def batched_solve(A: jax.Array, rhs: jax.Array) -> jax.Array:
 class ALSPlan:
     """Precomputed static block layout for one side of the alternation.
 
-    Blocks are contiguous index ranges; per-block (row, col) positive pairs
-    are padded once to the max block nnz so every block reuses a single
-    compiled kernel, and the stacked [n_blocks, ...] layout lets the whole
-    sweep run as one ``lax.scan`` on device.
+    Per-block (row, col) positive pairs are padded once to the max block
+    nnz (``cap``) so every block reuses a single compiled kernel, and the
+    stacked [n_blocks, ...] layout lets the whole sweep run as one
+    ``lax.scan`` on device.
+
+    ``balanced=True`` (default) assigns entities to blocks round-robin in
+    descending-degree order instead of by contiguous index ranges: every
+    block pays ``cap`` (the max block nnz), so a contiguous split of an
+    id-ordered catalog (item ids are often assigned by popularity) can
+    concentrate the heavy rows in one block and inflate the padded work
+    severalfold; balancing pins cap ≈ nnz / n_blocks for ANY degree
+    distribution. (On the MovieLens-scale zipf bench fold the contiguous
+    split is already near-balanced — dedup against 69,878 users saturates
+    the head degrees — measured cap 699,970 vs 694,536; the guarantee is
+    the point, not that fold.) The entity permutation is carried in
+    ``perm`` ([n_blocks·block_size] int32, value n_this = padding slot)
+    and applied/inverted on device inside the sweep (two [n, k]
+    gathers/scatters — noise next to the block matmuls).
     """
 
     def __init__(
@@ -132,47 +146,63 @@ class ALSPlan:
         flat: np.ndarray,
         n_this: int,
         block_size: int = 2048,
+        balanced: bool = True,
     ):
         self.n_this = n_this
         self.block_size = block_size
-        self.blocks: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        deg = np.diff(indptr)
-        cap = 1
-        bounds = list(range(0, n_this, block_size))
-        for r0 in bounds:
-            r1 = min(r0 + block_size, n_this)
-            cap = max(cap, int(indptr[r1] - indptr[r0]))
-        self.cap = cap
+        deg = np.diff(indptr).astype(np.int64)
+        n_blocks = max(1, -(-n_this // block_size))
+        self.n_blocks = n_blocks
+        if balanced and n_blocks > 1:
+            order = np.argsort(-deg, kind="stable")
+        else:
+            order = np.arange(n_this)
+        # deal entities into blocks round-robin over the chosen order
+        # (identity order => contiguous-strided; degree order => balanced)
+        per_block = [order[b::n_blocks] for b in range(n_blocks)]
+        n_pad = n_blocks * block_size
+        perm = np.full(n_pad, n_this, dtype=np.int64)  # n_this = dummy slot
         rows_l, cols_l, deg_l = [], [], []
-        for r0 in bounds:
-            r1 = min(r0 + block_size, n_this)
-            lo, hi = int(indptr[r0]), int(indptr[r1])
+        cap = 1
+        for b, ents in enumerate(per_block):
+            cap = max(cap, int(deg[ents].sum()))
+        self.cap = cap
+        for b, ents in enumerate(per_block):
+            perm[b * block_size : b * block_size + len(ents)] = ents
+            lens = deg[ents]
             rows = np.repeat(
-                np.arange(r1 - r0, dtype=np.int32), deg[r0:r1]
+                np.arange(len(ents), dtype=np.int32), lens
             )
-            cols = flat[lo:hi].astype(np.int32)
+            # gather each entity's CSR segment (vectorized run expansion)
+            starts = indptr[ents].astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                offs = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                cols = flat[np.repeat(starts, lens) + offs].astype(np.int32)
+            else:
+                cols = np.zeros(0, np.int32)
             pad = cap - rows.shape[0]
             rows = np.pad(rows, (0, pad), constant_values=block_size)
             cols = np.pad(cols, (0, pad), constant_values=0)
             deg_block = np.zeros(block_size, dtype=np.int32)
-            deg_block[: r1 - r0] = deg[r0:r1]
-            self.blocks.append(
-                (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(deg_block))
-            )
+            deg_block[: len(ents)] = lens
             rows_l.append(rows)
             cols_l.append(cols)
             deg_l.append(deg_block)
-        self.n_blocks = len(bounds)
         # stacked device layout for the fused whole-sweep scan
         self.rows_stack = jnp.asarray(np.stack(rows_l))
         self.cols_stack = jnp.asarray(np.stack(cols_l))
         self.deg_stack = jnp.asarray(np.stack(deg_l))
+        self.perm = jnp.asarray(perm.astype(np.int32))
 
 
 def _sweep_impl(
     rows_stack: jax.Array,    # int32 [n_blocks, cap]
     cols_stack: jax.Array,    # int32 [n_blocks, cap]
     deg_stack: jax.Array,     # int32 [n_blocks, block]
+    perm: jax.Array,          # int32 [n_blocks*block] entity per slot
     this_emb: jax.Array,      # [n_this, k]
     other_emb: jax.Array,     # [n_other, k]
     rated_mask: jax.Array,    # float32 [n_other] — 1 for rated rows
@@ -207,11 +237,12 @@ def _sweep_impl(
     )
     sel = other_emb * rated_mask[:, None]
     gram_b = b * jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
-    pad = n_blocks * block_size - n_this
-    old_stack = jnp.pad(this_emb, ((0, pad), (0, 0))).reshape(
+    # route entities to their (possibly degree-balanced) block slots;
+    # perm value n_this marks a padding slot -> zero row via fill
+    old_stack = this_emb.at[perm].get(mode="fill", fill_value=0.0).reshape(
         n_blocks, block_size, k
     )
-    prior_stack = jnp.pad(prior, ((0, pad), (0, 0))).reshape(
+    prior_stack = prior.at[perm].get(mode="fill", fill_value=0.0).reshape(
         n_blocks, block_size, k
     )
     eye = lam * jnp.eye(k, dtype=jnp.float32)
@@ -244,7 +275,13 @@ def _sweep_impl(
         None,
         (rows_stack, cols_stack, deg_stack, old_stack, prior_stack),
     )
-    new = new_stack.reshape(n_blocks * block_size, k)[:n_this]
+    # scatter block slots back to natural entity order (padding slots
+    # carry perm == n_this and drop)
+    new = (
+        jnp.zeros((n_this, k), jnp.float32)
+        .at[perm]
+        .set(new_stack.reshape(n_blocks * block_size, k), mode="drop")
+    )
     return new, jnp.sum(fits)
 
 
@@ -261,6 +298,7 @@ def _als_sweep(
     rows_stack: jax.Array,
     cols_stack: jax.Array,
     deg_stack: jax.Array,
+    perm: jax.Array,
     this_emb: jax.Array,
     other_emb: jax.Array,
     rated_mask: jax.Array,
@@ -278,6 +316,7 @@ def _als_sweep(
         rows_stack,
         cols_stack,
         deg_stack,
+        perm,
         this_emb,
         other_emb,
         rated_mask,
@@ -327,6 +366,7 @@ def half_sweep(
         plan.rows_stack,
         plan.cols_stack,
         plan.deg_stack,
+        plan.perm,
         jnp.asarray(this_emb),
         other_emb,
         rated_mask,

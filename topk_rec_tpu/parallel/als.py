@@ -117,6 +117,7 @@ class DistributedALS:
             plan.rows_stack,
             plan.cols_stack,
             plan.deg_stack,
+            plan.perm,
             jnp.asarray(this_emb),
             other_emb,
             rated_mask,
