@@ -118,11 +118,21 @@ class TopKServer:
         Returns (scores [B, k], item_ids [B, k]); slots with score -inf
         mean the user has fewer than k unseen items.
         """
-        vals, idx = self.recommend_async(user_ids, k, method)
         from .parallel.distributed import fetch
 
         n = len(np.asarray(user_ids))
-        return np.asarray(fetch(vals))[:n], np.asarray(fetch(idx))[:n]
+        while True:
+            vals, idx = self.recommend_async(user_ids, k, method)
+            v = np.asarray(fetch(vals))[:n]
+            if self.mesh is None or not np.isnan(v).any():
+                return v, np.asarray(fetch(idx))[:n]
+            # overflow poison (see recommend_async): grow the sticky
+            # capacity and re-issue; capacity == b_local cannot overflow,
+            # so the loop is bounded
+            cap = self._lookup_capacity
+            if cap >= self._cap_limit:  # NaN came from the data itself
+                return v, np.asarray(fetch(idx))[:n]
+            self._lookup_capacity = min(2 * cap, self._cap_limit)
 
     def recommend_async(
         self,
@@ -145,34 +155,32 @@ class TopKServer:
             pad = (-len(uid)) % n_shards
             uid_p = np.pad(uid, (0, pad))
             b_local = len(uid_p) // n_shards
-            # retry-on-overflow with doubling capacity (the documented
-            # contract of parallel/lookup.py): a skewed batch — e.g.
-            # every queried user owned by one shard — overflows the
-            # uniform-spread default; capacity == b_local can never
-            # overflow (a device requests at most b_local uniques), so
-            # the loop is bounded and the final gather is exact. The
-            # grown capacity sticks for subsequent queries.
+            # overflow handling (the documented retry/resize contract of
+            # parallel/lookup.py) WITHOUT a per-query host sync: the
+            # result values are NaN-poisoned on device when any lookup
+            # overflowed, so the caller's own result fetch doubles as the
+            # check — zero extra round trips on the common path.
+            # ``recommend`` detects the poison, doubles the sticky
+            # capacity (bounded by b_local, which cannot overflow) and
+            # re-issues; async callers observe NaNs on their fetch and
+            # re-issue the batch the same way, never consuming silently
+            # short results.
             if not hasattr(self, "_lookup_capacity"):
                 self._lookup_capacity = 2 * (-(-b_local // n_shards))
-            from .parallel.distributed import fetch
-
-            while True:
-                cap = self._lookup_capacity
-                u_rows, ovf_u = sharded_lookup(
-                    self.U, uid_p, self.mesh, capacity=cap
-                )
-                s_rows, ovf_s = sharded_lookup(
-                    self.seen, uid_p, self.mesh, capacity=cap
-                )
-                overflow = int(np.asarray(fetch(ovf_u)).sum()) + int(
-                    np.asarray(fetch(ovf_s)).sum()
-                )
-                if overflow == 0 or cap >= b_local:
-                    break
-                self._lookup_capacity = min(2 * cap, b_local)
-            return _query(
+            self._cap_limit = b_local
+            cap = min(self._lookup_capacity, b_local)
+            u_rows, ovf_u = sharded_lookup(
+                self.U, uid_p, self.mesh, capacity=cap
+            )
+            s_rows, ovf_s = sharded_lookup(
+                self.seen, uid_p, self.mesh, capacity=cap
+            )
+            vals, idx = _query(
                 u_rows, self.V, self.bias, s_rows, k, method, self.n_items
             )
+            overflowed = (jnp.sum(ovf_u) + jnp.sum(ovf_s)) > 0
+            vals = jnp.where(overflowed, jnp.nan, vals)
+            return vals, idx
         uid_d = jnp.asarray(uid)
         return _query(
             self.U[uid_d],
