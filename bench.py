@@ -85,6 +85,11 @@ def bench_scoring(n_users=69878, n_items=10380, d=50, k=30, iters=16):
 
     def timeit(fn):
         float(fn(U, V, b, mask))  # compile + warm
+        # burn one full timed-size block: the FIRST timed block of each
+        # program absorbs ~500-700 ms of one-time residual setup even
+        # after a synced warmup (measured 56 vs 25.6 ms/iter, same
+        # program — CLAUDE.md measurement playbook)
+        float(sum(fn(U, V, b, mask) for _ in range(iters)))
         t0 = time.time()
         # dispatch all iterations asynchronously; the single scalar fetch
         # at the end synchronizes the chain (one tunnel RTT amortized over
@@ -187,6 +192,7 @@ def main() -> None:
     batch_size, scan_steps = 256, 128
     run_chunks(1, batch_size, scan_steps, 1)  # compile + warm
     n_chunks = 16
+    run_chunks(n_chunks, batch_size, scan_steps, 5)  # burn first timed-size block
     t0 = time.time()
     run_chunks(n_chunks, batch_size, scan_steps, 2)
     dt = time.time() - t0
@@ -226,6 +232,7 @@ def main() -> None:
     # --- extra diagnostics to stderr ---
     try:
         run_chunks(1, 8192, 64, 3)
+        run_chunks(8, 8192, 64, 6)  # burn first timed-size block
         t0 = time.time()
         run_chunks(8, 8192, 64, 4)
         dt = time.time() - t0

@@ -41,7 +41,8 @@ trigger).
 
 Measured on v5e at 69878x10380xd50, k=30 (bf16 matmul): v1 ~95 ms
 (VPU-bound full-width rounds), v2 38.5-53 ms (per-tile extraction +
-depth-2 trigger), v3 see BASELINE.md — with the score matrix never
+depth-2 trigger), v3 25.4-25.6 ms steady-state = 28.5G scored pairs/s
+(burned-first-block timing, BASELINE.md) — with the score matrix never
 touching HBM at any version.
 
 Grid: (user_tiles, item_tiles), item axis minor; the running buffers live
