@@ -252,10 +252,14 @@ def main() -> None:
 
         wmf = WMF(k=50, seed=0)
         wmf.set_interactions(inter)
-        wmf._sweeps(prior=None)  # compile + warm (both half-sweeps)
+        # the device-resident iteration the train loop actually runs
+        # (as_numpy=False keeps embeddings on device; float() is the
+        # per-iteration sync)
+        float(wmf._sweeps(prior=None, as_numpy=False))  # compile + warm
+        float(wmf._sweeps(prior=None, as_numpy=False))  # burn first block
         t0 = time.time()
-        wmf._sweeps(prior=None)
-        wmf._sweeps(prior=None)
+        float(wmf._sweeps(prior=None, as_numpy=False))
+        float(wmf._sweeps(prior=None, as_numpy=False))
         dt = (time.time() - t0) / 2
         print(
             f"extra: wmf als {dt:.2f} s/iteration "
@@ -278,27 +282,34 @@ def main() -> None:
         cer.fue = wmf.fue.copy()
         cer.fie = wmf.fie.copy()
 
-        def cer_iter():
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        cer._E_dev = jnp.asarray(
+            rng2.standard_normal((20000, 50)).astype(np.float32)
+        )
+        rated_items = jnp.asarray(inter.rated_items)
+        rated_users = jnp.asarray(inter.rated_users)
+
+        def cer_iter():
+            # device-resident CER iteration, mirroring CER.train
             Fe = jnp.dot(
-                cer._feat_device(), jnp.asarray(cer.E),
+                cer._feat_device(), cer._E_dev,
                 preferred_element_type=jnp.float32,
             )
             cer.fue, _ = cer._half_sweep(
                 cer._user_plan, cer.fue, cer.fie,
-                jnp.asarray(inter.rated_items), cer.a, cer.b, cer.lu,
+                rated_items, cer.a, cer.b, cer.lu, as_numpy=False,
             )
-            cer.fie, _ = cer._half_sweep(
+            cer.fie, fit = cer._half_sweep(
                 cer._item_plan, cer.fie, cer.fue,
-                jnp.asarray(inter.rated_users), cer.a, cer.b, cer.lv,
-                prior=Fe,
+                rated_users, cer.a, cer.b, cer.lv,
+                prior=Fe, as_numpy=False,
             )
-            E_dev = cer._solve_E(jnp.asarray(cer.fie))
-            cer.E = np.asarray(E_dev)
+            cer._E_dev = cer._solve_E(cer.fie)
+            float(fit)  # per-iteration sync point (as in CER.train's loss)
 
-        cer.E = rng2.standard_normal((20000, 50)).astype(np.float32)
         cer_iter()  # compile + warm
+        cer_iter()  # burn first timed-size block
         t0 = time.time()
         cer_iter()
         dt_cer = time.time() - t0

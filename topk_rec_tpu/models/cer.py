@@ -166,7 +166,9 @@ class CER(WMF):
             t1 = time.time()
             # F·E on device (20 GFLOP on host NumPy at the reference scale)
             Fe = jnp.dot(F, E_dev, preferred_element_type=jnp.float32)
-            # user sweep (lam=lu), then item sweep with content prior
+            # user sweep (lam=lu), then item sweep with content prior —
+            # device-resident (as_numpy=False): the per-sweep host round
+            # trips cost more than the sweeps' device work
             self.fue, _ = self._half_sweep(
                 self._user_plan,
                 self.fue,
@@ -175,6 +177,7 @@ class CER(WMF):
                 self.a,
                 self.b,
                 self.lu,
+                as_numpy=False,
             )
             self.fie, fit = self._half_sweep(
                 self._item_plan,
@@ -185,16 +188,16 @@ class CER(WMF):
                 self.b,
                 self.lv,
                 prior=Fe,
+                as_numpy=False,
             )
-            E_dev = self._solve_E(jnp.asarray(self.fie))
+            E_dev = self._solve_E(self.fie)
             loss_old = loss
-            Fe_host = np.asarray(Fe)
-            loss = (
+            loss = float(
                 fit
-                + 0.5 * self.lu * float(np.sum(self.fue**2))
-                + 0.5 * self.lv * float(np.sum((self.fie - Fe_host) ** 2))
-                + 0.5 * self.le * float(jnp.sum(E_dev**2))
-            )
+                + 0.5 * self.lu * jnp.sum(self.fue**2)
+                + 0.5 * self.lv * jnp.sum((self.fie - Fe) ** 2)
+                + 0.5 * self.le * jnp.sum(E_dev**2)
+            )  # single per-iteration sync point
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
             if save_lag and save_dir and it % save_lag == 0:
@@ -207,6 +210,9 @@ class CER(WMF):
             if cond < tol:
                 break
         self.E = np.asarray(E_dev)
+        # back to mutable host arrays (external contract: export, tests)
+        self.fue = np.array(self.fue)
+        self.fie = np.array(self.fie)
         # cold-start writeback (ref cer.py:70-73)
         Fe = np.asarray(jnp.dot(F, E_dev, preferred_element_type=jnp.float32))
         unrated = np.setdiff1d(

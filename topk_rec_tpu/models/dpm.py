@@ -92,30 +92,38 @@ class DPM(WMF):
             # (ref dpm.py:33)
             Fe = self.encoder.predict(self.feat)
             self.fie = np.array(Fe, dtype=np.float32, copy=True)
+            # device-resident sweeps (as_numpy=False): the user table
+            # never round-trips to host; only fie is fetched below for the
+            # encoder's SGD fit (the reference alternation needs it on
+            # host, ref dpm.py:59)
+            rated_items, rated_users = self._rated_dev()
             self.fue, _ = self._half_sweep(
                 self._user_plan,
                 self.fue,
                 self.fie,
-                jnp.asarray(inter.rated_items),
+                rated_items,
                 self.a,
                 self.b,
                 self.lu,
+                as_numpy=False,
             )
-            self.fie, fit = self._half_sweep(
+            fie_dev, fit = self._half_sweep(
                 self._item_plan,
                 self.fie,
                 self.fue,
-                jnp.asarray(inter.rated_users),
+                rated_users,
                 self.a,
                 self.b,
                 self.lv,
-                prior=Fe,
+                prior=jnp.asarray(Fe),
+                as_numpy=False,
             )
-            loss = (
+            loss = float(
                 fit
-                + 0.5 * self.lu * float(np.sum(self.fue**2))
-                + 0.5 * self.lv * float(np.sum((self.fie - Fe) ** 2))
+                + 0.5 * self.lu * jnp.sum(self.fue**2)
+                + 0.5 * self.lv * jnp.sum((fie_dev - Fe) ** 2)
             )
+            self.fie = np.array(fie_dev)
             # M-step: one SGD sweep fitting encoder to current latents
             # (ref dpm.py:59)
             loss += self.encoder.fit(self.feat, self.fie)
@@ -133,6 +141,8 @@ class DPM(WMF):
                     "Iter %3d, loss %.6f, time %.2fs"
                     % (it, loss, time.time() - t1)
                 )
+        # back to a mutable host array (external contract)
+        self.fue = np.array(self.fue)
         # cold-start writeback from the final encoder (ref dpm.py:61-64)
         Fe = self.encoder.predict(self.feat)
         unrated = np.setdiff1d(np.arange(self.n_items), inter.rated_items)

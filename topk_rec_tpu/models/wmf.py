@@ -76,28 +76,48 @@ class WMF(Recommender):
         rng = np.random.default_rng(self.seed)
         self.fue = rng.random((inter.n_users, self.k), dtype=np.float32)
         self.fie = rng.random((inter.n_items, self.k), dtype=np.float32)
+        self._rated_dev_cache = None  # new fold: re-upload rated lists
 
-    def _sweeps(self, prior: Optional[np.ndarray]) -> float:
-        """One full ALS iteration (users then items); returns item fit loss."""
-        inter = self.inter
+    def _rated_dev(self):
+        """Cached device copies of the rated-entity index lists (uploaded
+        once per fold instead of once per iteration)."""
+        if getattr(self, "_rated_dev_cache", None) is None:
+            inter = self.inter
+            self._rated_dev_cache = (
+                jnp.asarray(inter.rated_items),
+                jnp.asarray(inter.rated_users),
+            )
+        return self._rated_dev_cache
+
+    def _sweeps(self, prior: Optional[np.ndarray], as_numpy: bool = True):
+        """One full ALS iteration (users then items); returns item fit loss.
+
+        ``as_numpy=False`` leaves ``self.fue``/``self.fie`` as device
+        arrays and returns the fit as a device scalar — the train loop
+        uses this to keep the whole ALS alternation device-resident
+        (per-sweep host round trips of the user table cost more than the
+        sweep's device work; see ops/als.half_sweep)."""
+        rated_items, rated_users = self._rated_dev()
         self.fue, _ = self._half_sweep(
             self._user_plan,
             self.fue,
             self.fie,
-            jnp.asarray(inter.rated_items),
+            rated_items,
             self.a,
             self.b,
             self.lu,
+            as_numpy=as_numpy,
         )
         self.fie, fit = self._half_sweep(
             self._item_plan,
             self.fie,
             self.fue,
-            jnp.asarray(inter.rated_users),
+            rated_users,
             self.a,
             self.b,
             self.lv,
             prior=prior,
+            as_numpy=as_numpy,
         )
         return fit
 
@@ -119,8 +139,11 @@ class WMF(Recommender):
         state.log loss and the relative-change stopping criterion on
         the same objective the solves minimize."""
         item_term = self.fie if theta is None else self.fie - theta
-        return 0.5 * self.lu * float(np.sum(self.fue**2)) + 0.5 * self.lv * float(
-            np.sum(item_term**2)
+        # jnp: works for both host and device-resident embeddings (the
+        # train loop keeps them on device; the float() is the per-iteration
+        # scalar sync point)
+        return 0.5 * self.lu * float(jnp.sum(self.fue**2)) + 0.5 * self.lv * float(
+            jnp.sum(item_term**2)
         )
 
     def train(
@@ -181,8 +204,12 @@ class WMF(Recommender):
         prior = None if theta is None else jnp.asarray(theta)
         for it in range(max_iter):
             t1 = time.time()
-            fit = self._sweeps(prior=prior)
-            loss_old, loss = loss, fit + self._loss_reg(theta)
+            # device-resident iteration: embeddings never round-trip to
+            # host; float(fit) + _loss_reg's float() are the only syncs
+            fit = float(self._sweeps(prior=prior, as_numpy=False))
+            # pass the device theta copy: avoids re-uploading it per
+            # iteration inside the reg term
+            loss_old, loss = loss, fit + self._loss_reg(prior)
             cond = abs(loss_old - loss) / loss_old
             slog.append(it, loss, cond)
             if save_lag and save_dir and it % save_lag == 0:
@@ -194,3 +221,7 @@ class WMF(Recommender):
                 )
             if cond < tol:
                 break
+        # restore the external contract: fue/fie are mutable host arrays
+        # (export, cold-start writeback in subclasses, tests)
+        self.fue = np.array(self.fue)
+        self.fie = np.array(self.fie)

@@ -341,6 +341,7 @@ def half_sweep(
     lam: float,
     prior=None,
     keep_old_unrated: bool = True,
+    as_numpy: bool = True,
 ) -> Tuple[np.ndarray, float]:
     """One ALS half-sweep: update ``this_emb`` given fixed ``other_emb``.
 
@@ -349,6 +350,13 @@ def half_sweep(
     ref cer.py:49-63); with a prior, unrated entities are solved from the
     prior alone (ref cer.py:62) instead of kept (ref wmf.py:82 guard).
     The whole sweep executes as one device program.
+
+    ``as_numpy=False`` skips the host round trip and returns device arrays
+    (embeddings + scalar fit): behind the tunnel the np fetch + re-upload
+    of the user table costs more than the sweep itself (measured: full WMF
+    iteration 1.5-2.7 s with per-sweep host round trips vs ~0.25 s of
+    device work), so the training loops keep everything device-resident
+    and sync once per iteration on the scalar loss.
     """
     other_emb = jnp.asarray(other_emb)
     k = other_emb.shape[1]
@@ -379,6 +387,8 @@ def half_sweep(
         use_prior,
         keep_old_unrated and not use_prior,
     )
+    if not as_numpy:
+        return new, fit
     # np.array (not asarray): jax buffers are read-only zero-copy views and
     # callers mutate the result (cold-start writeback)
     return np.array(new), float(fit)

@@ -91,8 +91,15 @@ class DistributedALS:
         lam: float,
         prior: Optional[np.ndarray] = None,
         keep_old_unrated: bool = True,
+        as_numpy: bool = True,
     ) -> Tuple[np.ndarray, float]:
-        """Drop-in distributed equivalent of ops.als.half_sweep."""
+        """Drop-in distributed equivalent of ops.als.half_sweep.
+
+        ``as_numpy=False`` returns device arrays (embeddings stay sharded
+        per GSPMD's choice, fit is a replicated scalar) so training loops
+        avoid the per-sweep host round trip — same contract as
+        ops.als.half_sweep.
+        """
         other_emb = jnp.asarray(other_emb)
         k = other_emb.shape[1]
         n_other = other_emb.shape[0]
@@ -126,6 +133,8 @@ class DistributedALS:
             float(b),
             float(lam),
         )
+        if not as_numpy:
+            return new, fit
         # np.array (not asarray): callers mutate the result (cold-start
         # writeback) and jax buffers are read-only views. fetch() handles
         # multi-host shards (replicate-then-read).
