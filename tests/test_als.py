@@ -84,3 +84,39 @@ def test_unrated_entities_kept_without_prior(tiny_inter):
     # user 3 has no positives -> row unchanged
     np.testing.assert_array_equal(got[3], U[3])
     assert not np.allclose(got[0], U[0])
+
+
+def test_half_sweep_as_numpy_false_device_resident(small_inter):
+    """as_numpy=False must return device arrays identical to the np path
+    (the WMF/CER/DPM train loops run the whole alternation device-resident
+    and only sync on the scalar loss — see ops/als.half_sweep)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    k = 4
+    U = rng.normal(size=(small_inter.n_users, k)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, k)).astype(np.float32)
+    indptr, flat = small_inter.user_csr
+    plan = ALSPlan(indptr, flat, small_inter.n_users, block_size=16)
+    rated = jnp.asarray(small_inter.rated_items)
+    want, want_fit = half_sweep(plan, U, V, rated, 1.0, 0.01, 0.05)
+    got, got_fit = half_sweep(
+        plan, U, V, rated, 1.0, 0.01, 0.05, as_numpy=False
+    )
+    assert isinstance(got, jax.Array) and isinstance(got_fit, jax.Array)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert float(got_fit) == want_fit
+
+
+def test_wmf_train_restores_host_arrays(small_inter):
+    """After train() the embeddings are mutable host ndarrays again
+    (export / cold-start writeback contract) despite the device-resident
+    loop."""
+    from topk_rec_tpu.models import WMF
+
+    m = WMF(k=4, seed=0)
+    m.set_interactions(small_inter)
+    m.train(max_iter=3, tol=0.0, verbose=False)
+    assert type(m.fue) is np.ndarray and type(m.fie) is np.ndarray
+    m.fue[0, 0] = 123.0  # must be writable
+    assert m.fue[0, 0] == 123.0
