@@ -52,8 +52,11 @@ def pytest_configure(config):
         "markers",
         "slow: long-running end-to-end tests (deselect with -m 'not slow')",
     )
-    if shutil.which(os.environ.get("CXX", "g++")) is None:
-        return
+    if (
+        shutil.which(os.environ.get("CXX", "g++")) is None
+        or shutil.which("make") is None
+    ):
+        return  # no toolchain: the native tests skip themselves
     native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "topk_rec_tpu",

@@ -113,3 +113,101 @@ def test_sharded_update_overflow_drops_whole_uniques():
     assert (got <= full + 1e-6).all()  # never more than the full sum
     # per-row deltas are integral contribution counts (atomic drops)
     np.testing.assert_allclose(got, np.round(got), atol=1e-6)
+
+
+def test_exchange_with_valid_mask_flags_drops():
+    """_exchange(with_valid=True): the per-occurrence mask is True exactly
+    on served occurrences; dropped ones are False with zero rows (the
+    explicit-exchange trainer voids those triplets entirely)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from topk_rec_tpu.parallel.lookup import _exchange
+
+    rng = np.random.default_rng(5)
+    n_rows, k = 64, 4
+    table = rng.normal(size=(n_rows, k)).astype(np.float32)
+    mesh = make_mesh(dp=1, mp=8)
+    rows_per_shard = n_rows // 8
+    # all indices owned by shard 0, capacity 2: most devices drop some
+    idx = np.concatenate([
+        rng.choice(rows_per_shard, size=4, replace=False)
+        for _ in range(8)
+    ]).astype(np.int32)
+    body = partial(
+        _exchange, axis="mp", n_shards=8, rows_per_shard=rows_per_shard,
+        capacity=2, with_valid=True,
+    )
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("mp", None), P("mp")),
+        out_specs=(P("mp", None), P("mp"), P("mp")),
+    ))
+    table_d = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("mp", None))
+    )
+    idx_d = jax.device_put(
+        jnp.asarray(idx, jnp.int32), NamedSharding(mesh, P("mp"))
+    )
+    rows, valid, overflow = fn(table_d, idx_d)
+    rows, valid = np.asarray(rows), np.asarray(valid)
+    assert np.asarray(overflow).sum() > 0
+    np.testing.assert_allclose(rows[valid], table[idx][valid], rtol=1e-6)
+    assert not valid.all()
+    assert (rows[~valid] == 0).all()
+
+
+def test_pairwise_loss_weight_voids_example():
+    """Weight 0 removes an example's loss AND all its gradients — the
+    overflow-voiding contract the explicit-exchange step relies on."""
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.models.bpr import _pairwise_loss
+
+    rng = np.random.default_rng(6)
+    k, b = 5, 7
+    pu = jnp.asarray(rng.normal(size=(b, k)).astype(np.float32))
+    pit = jnp.asarray(rng.normal(size=(b, k + 1)).astype(np.float32))
+    pjt = jnp.asarray(rng.normal(size=(b, k + 1)).astype(np.float32))
+    w = jnp.asarray(
+        np.array([1, 0, 1, 0, 1, 1, 0], np.float32)
+    )
+    loss_w, grads = jax.value_and_grad(
+        _pairwise_loss, argnums=(0, 1, 2)
+    )(pu, pit, pjt, 0.1, 0.1, 0.01, 0.05, "l2", k, w)
+    # voided examples: zero gradient rows everywhere (incl. bias column)
+    for g in grads:
+        assert (np.asarray(g)[np.asarray(w) == 0] == 0).all()
+        assert (np.asarray(g)[np.asarray(w) == 1] != 0).any()
+    # loss equals the loss of the kept subset alone
+    keep = np.asarray(w) == 1
+    loss_subset = _pairwise_loss(
+        pu[keep], pit[keep], pjt[keep], 0.1, 0.1, 0.01, 0.05, "l2", k
+    )
+    np.testing.assert_allclose(float(loss_w), float(loss_subset), rtol=1e-6)
+
+
+def test_explicit_trainer_overflow_stays_sane(small_inter):
+    """Forced overflow (capacity=1): the trainer reports drops, the loss
+    stays finite, and no parameter is corrupted by zero-row gradients."""
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.models import BPR
+    from topk_rec_tpu.parallel import DistributedBPRTrainer
+
+    model = BPR(k=8, lr=0.05, seed=3)
+    model.set_interactions(small_inter)
+    model._init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=1, mp=8)
+    tr = DistributedBPRTrainer(
+        model, mesh, batch_size=64, scan_steps=2,
+        exchange="explicit", capacity=1,
+    )
+    loss = tr.train_chunk(jax.random.PRNGKey(9))
+    assert np.isfinite(loss)
+    assert tr.last_overflow > 0
+    tr.sync_to_model()
+    for name in ("ue", "ie", "ib"):
+        assert np.isfinite(np.asarray(model._params[name])).all()

@@ -128,3 +128,27 @@ def test_fused_all_ties_full_fallback():
     want_vals, want_idx = _reference(U, V, None, mask, k)
     np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_fused_large_catalog_span_merge():
+    """Catalogs beyond 4 item tiles process in column spans (bounded VMEM
+    scratch) whose exact per-span top-ks merge to the exact global top-k,
+    tie order included."""
+    rng = np.random.default_rng(7)
+    n_u, n_i, d, k = 48, 1500, 12, 16  # block_i=128 -> 4-tile spans of 512
+    U = rng.normal(size=(n_u, d)).astype(np.float32)
+    V = rng.normal(size=(n_i, d)).astype(np.float32)
+    bias = rng.normal(size=n_i).astype(np.float32)
+    mask = (rng.random((n_u, n_i)) < 0.1).astype(np.int8)
+    # plant exact cross-span ties (same embedding row in three spans)
+    V[700] = V[10]
+    V[1300] = V[10]
+    bias[700] = bias[10]
+    bias[1300] = bias[10]
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(bias), jnp.asarray(mask),
+        k, block_u=16, block_i=128, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, bias, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)

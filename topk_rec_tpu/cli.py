@@ -211,6 +211,20 @@ def train_from_config(cfg: TrainConfig, mesh=None):
             "--exchange explicit is implemented for --model bpr "
             "(the other distributed paths ride GSPMD collectives)"
         )
+    if cfg.exchange == "explicit" and mesh is None:
+        # without a mesh the single-chip path runs and cfg.exchange is
+        # never read — reject rather than silently train the wrong path
+        raise SystemExit(
+            "--exchange explicit requires --mesh (the all-to-all "
+            "exchange runs over a device mesh)"
+        )
+    if cfg.exchange == "explicit" and mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if int(axes.get("dp", 1)) != 1:
+            raise SystemExit(
+                "--exchange explicit shards the batch over 'mp' and "
+                f"requires a pure-mp mesh (dp=1); got mesh axes {axes}"
+            )
     model = build_model(mc, mesh=mesh)
     model.load_training_data(
         os.path.join(cfg.data.data_dir, cfg.data.uid_file),

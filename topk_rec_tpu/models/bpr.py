@@ -32,27 +32,39 @@ from ..utils import tprint
 from .base import Recommender
 
 
-def _pairwise_loss(pu, pit, pjt, lu, li, lj, lb, mode, k):
+def _pairwise_loss(pu, pit, pjt, lu, li, lj, lb, mode, k, weight=None):
     """BPR batch loss over gathered rows (ref bpr.py:87-99): softplus
     pairwise term + l2/l1 regularization; ``pit``/``pjt`` carry the item
     bias as column ``k``. Shared by the single-chip/GSPMD chunk body and
-    the explicit-exchange distributed step (parallel/train_step.py)."""
+    the explicit-exchange distributed step (parallel/train_step.py).
+
+    ``weight`` is an optional per-example 0/1 float mask: a zero weight
+    removes the example's ENTIRE contribution (pairwise term, regs, and
+    hence all its gradients) — the explicit-exchange step uses it to
+    void triplets whose forward lookup overflowed, so a dropped row can
+    never leak a garbage gradient (computed against zero rows) into the
+    surviving real rows."""
     pi, bi = pit[:, :k], pit[:, k]
     pj, bj = pjt[:, :k], pjt[:, k]
     x = bi - bj + jnp.sum(pu * (pi - pj), axis=1)
-    nll = jnp.sum(jnp.logaddexp(0.0, -x))  # = sum log(1 + exp(-x))
+    per = jnp.logaddexp(0.0, -x)  # = log(1 + exp(-x))
     if mode == "l2":
         reg = 0.5 * (
-            jnp.sum(pu**2) * lu + jnp.sum(pi**2) * li + jnp.sum(pj**2) * lj
-        ) + 0.5 * lb * (jnp.sum(bi**2) + jnp.sum(bj**2))
+            jnp.sum(pu**2, axis=1) * lu
+            + jnp.sum(pi**2, axis=1) * li
+            + jnp.sum(pj**2, axis=1) * lj
+        ) + 0.5 * lb * (bi**2 + bj**2)
     else:
         reg = (
-            jnp.sum(jnp.abs(pu)) * lu
-            + jnp.sum(jnp.abs(pi)) * li
-            + jnp.sum(jnp.abs(pj)) * lj
-            + lb * (jnp.sum(jnp.abs(bi)) + jnp.sum(jnp.abs(bj)))
+            jnp.sum(jnp.abs(pu), axis=1) * lu
+            + jnp.sum(jnp.abs(pi), axis=1) * li
+            + jnp.sum(jnp.abs(pj), axis=1) * lj
+            + lb * (jnp.abs(bi) + jnp.abs(bj))
         )
-    return nll + reg
+    tot = per + reg
+    if weight is not None:
+        tot = tot * weight
+    return jnp.sum(tot)
 
 
 def _chunk_impl(

@@ -18,13 +18,20 @@ Pallas kernel at 69878x10380. This module makes the approx path EXACT:
           pathological batch still returns exact results, never asserts).
 
 Correctness invariant (value-exactness): let A = the k best returned
-candidates, t = min(A), gA = #{a∈A : a > t}. A equals the true top-k
-multiset iff the global counts satisfy  cnt_gt == gA  and
-cnt_eq == k - gA  (all strictly-greater elements are present, and the
-ties at t are globally unique). Rows failing either test — including
-every row with fewer than k unseen items, where t collapses to the mask
-fill value — re-rank exactly in pass C. Index order matches
-``lax.top_k`` (value desc, index asc among ties) via a two-key sort.
+candidates, t = min(A), eps = 1e-4·|t| + 1e-6, gA = #{a∈A : a > t+eps}.
+If the global counts satisfy  cnt_gt == gA  and  cnt_eq == k - gA
+(with cnt_gt counting scores > t+eps and cnt_eq counting scores within
+±eps of t), then every element above t+eps and every element within the
+margin is in A, and everything outside A scores below t−eps — so A is
+the true top-k multiset. The ±eps margin makes the audit robust to
+matmul accumulation-order divergence between the Pallas count kernel
+and the XLA rescore that produced t (reorder noise ~1e-5·|s|): a false
+pass would need the two scores of one element to diverge by more than
+eps, while near-threshold rows merely repair conservatively. Rows
+failing either test — including every row with fewer than k unseen
+items, where t collapses to the mask fill value — re-rank exactly in
+pass C. Index order matches ``lax.top_k`` (value desc, index asc among
+ties) via a two-key sort.
 
 The reference analog is the full np.argsort of the materialized score
 matrix (reference evaluate.py:78-81).
@@ -68,8 +75,18 @@ def _count_kernel(
     scores = scores + b_ref[:]
     scores = jnp.where(m_ref[:] != 0, NEG_INF, scores)
     t = t_ref[:][:, :1]  # [tu, 1] broadcast column
-    gt = jnp.sum((scores > t).astype(jnp.int32), axis=1, keepdims=True)
-    eq = jnp.sum((scores == t).astype(jnp.int32), axis=1, keepdims=True)
+    # margin-tolerant classification: this kernel's per-tile matmul may
+    # accumulate in a different order than the XLA rescore that produced
+    # t (reorder noise ~ d·ulp·|s| ≈ 1e-5·|s|); a strict >/== audit
+    # could then false-pass a missed element whose scores straddle t.
+    # Elements within ±eps of t count as ties — divergence would need to
+    # exceed eps (orders of magnitude above reorder noise) to escape both
+    # classes, and extra near-threshold repairs are merely conservative.
+    eps = 1e-4 * jnp.abs(t) + 1e-6
+    gt = jnp.sum((scores > t + eps).astype(jnp.int32), axis=1, keepdims=True)
+    eq = jnp.sum(
+        (jnp.abs(scores - t) <= eps).astype(jnp.int32), axis=1, keepdims=True
+    )
     acc_gt[:] += jnp.broadcast_to(gt, acc_gt.shape)
     acc_eq[:] += jnp.broadcast_to(eq, acc_eq.shape)
 
@@ -170,7 +187,11 @@ def _hybrid_call(
     cnt_gt, cnt_eq = _count_vs_threshold(
         U, V, bias_row, mask, t, block_u, block_i, interpret, exact_matmul
     )
-    g_have = jnp.sum((vals > t[:, None]).astype(jnp.int32), axis=1)
+    # same ±eps classification as the count kernel (see _count_kernel)
+    eps = 1e-4 * jnp.abs(t) + 1e-6
+    g_have = jnp.sum(
+        (vals > (t + eps)[:, None]).astype(jnp.int32), axis=1
+    )
     bad = (cnt_gt != g_have) | (cnt_eq != k - g_have)
     # user-padding rows are all-masked and would trip the tie audit;
     # they carry no real data, so never burn repair rounds on them
@@ -184,9 +205,17 @@ def _hybrid_call(
 
     def body(state):
         r, vals, idx = state
-        pos = r * cap + jnp.arange(cap, dtype=jnp.int32)
         rows = jax.lax.dynamic_slice(order, (r * cap,), (cap,))
-        live = (pos < n_bad)[:, None]
+        # live keyed on bad[rows], NOT slot position: the nonzero padding
+        # slots carry row 0, and a duplicate-index .set is
+        # order-undefined — if row 0 is genuinely bad, a position-keyed
+        # mask would have dead slots re-writing row 0's STALE pre-repair
+        # values while the live slot writes the exact ones. Keyed on
+        # bad[rows], every duplicate write for row 0 carries the
+        # identical exact result (fv/fi are deterministic), so any
+        # scatter order yields the repaired values. (Same pattern as
+        # topk_pallas._fused_call's suspect scatter.)
+        live = bad[rows][:, None]
         fv, fi = jax.lax.top_k(rescore(U[rows], mask[rows]), k)
         vals = vals.at[rows].set(jnp.where(live, fv, vals[rows]))
         idx = idx.at[rows].set(jnp.where(live, fi, idx[rows]))

@@ -221,9 +221,14 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_u", "block_i", "interpret", "exact_matmul"),
+    static_argnames=(
+        "k", "block_u", "block_i", "interpret", "exact_matmul", "suspect_cap"
+    ),
 )
-def _fused_call(U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul):
+def _fused_call(
+    U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul,
+    suspect_cap=None,
+):
     n_u, d = U.shape
     n_i = V.shape[0]
     grid = (n_u // block_u, n_i // block_i)
@@ -285,8 +290,17 @@ def _fused_call(U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul):
     suspect = out_m3[:, 0] >= vals[:, k - 1]
     n_suspect = jnp.sum(suspect.astype(jnp.int32))
     # depth-3 visibility: quadruple-collision suspects ~0.05% of rows at
-    # the serving shape (vs 3.5% at depth 2); 1/64 capacity is ~30x that
-    cap = min(n_u, max(256, ((n_u // 64) + 255) // 256 * 256))
+    # the serving shape (vs 3.5% at depth 2); the default 1/64 capacity is
+    # ~30x that. NOTE the suspect set also contains every tie-touching row
+    # and every row with fewer than k unseen items — batches where those
+    # exceed the capacity (quantized scores, tiny candidate sets) pay the
+    # whole-batch lax.top_k fallback below; callers can widen via
+    # ``suspect_cap`` to keep the bounded path (correctness never
+    # depends on it).
+    cap = suspect_cap if suspect_cap is not None else (
+        min(n_u, max(256, ((n_u // 64) + 255) // 256 * 256))
+    )
+    cap = min(n_u, max(1, cap))
     bad = jnp.nonzero(suspect, size=cap, fill_value=0)[0]
     fv, fi = jax.lax.top_k(rescore(U[bad], mask[bad]), k)
     live = suspect[bad][:, None]
@@ -313,6 +327,7 @@ def fused_score_topk(
     block_i: int = 4096,
     interpret: Optional[bool] = None,
     exact_matmul: bool = True,
+    suspect_cap: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, indices) of masked U·Vᵀ + bias, fused in one kernel.
 
@@ -324,6 +339,9 @@ def fused_score_topk(
         (seen items; also used internally for padding columns).
       k: number of results per user (<= 128).
       interpret: run in the Pallas interpreter (CPU tests).
+      suspect_cap: bounded-re-rank row capacity (default n_users/64);
+        widen for batches with many ties or near-empty candidate rows to
+        avoid the whole-batch fallback (exactness holds either way).
 
     Inputs are padded internally to tile multiples; indices returned are
     into the unpadded candidate axis. Excluded/overflow positions come back
@@ -335,6 +353,31 @@ def fused_score_topk(
         interpret = jax.default_backend() == "cpu"
     n_u, d = U.shape
     n_i = V.shape[0]
+    # The v3 merged candidate scratch grows with the item-tile count
+    # (2 × [block_u, 3·128·n_tiles] VMEM); past ~4 tiles it would crowd
+    # the ~16MB VMEM budget that also holds the score tile. Larger
+    # catalogs are processed in column spans — each span's top-k is
+    # exact (including its suspect repair), the global top-k is a subset
+    # of the union, and a small XLA top_k over the concatenated
+    # [n_u, spans·k] results merges them exactly. Span concat order
+    # preserves lax.top_k tie semantics (value desc, index asc): spans
+    # are ascending column ranges and within-span ties are index-asc.
+    max_span = 4 * block_i
+    if n_i > max_span:
+        vs, is_ = [], []
+        for start in range(0, n_i, max_span):
+            stop = min(start + max_span, n_i)
+            sv, si = fused_score_topk(
+                U, V[start:stop],
+                None if bias is None else bias.reshape(-1)[start:stop],
+                mask[:, start:stop], k, block_u, block_i, interpret,
+                exact_matmul, suspect_cap,
+            )
+            vs.append(sv)
+            is_.append(si + start)
+        vals, pos = jax.lax.top_k(jnp.concatenate(vs, axis=1), k)
+        idx = jnp.take_along_axis(jnp.concatenate(is_, axis=1), pos, axis=1)
+        return vals, idx
     pu = (-n_u) % block_u
     # keep the last dim lane-aligned as well
     pi = (-n_i) % block_i
@@ -350,7 +393,8 @@ def fused_score_topk(
         mask.astype(jnp.int8), ((0, pu), (0, pi)), constant_values=1
     )
     vals, idx = _fused_call(
-        U_p, V_p, b, mask_p, k, block_u, block_i, interpret, exact_matmul
+        U_p, V_p, b, mask_p, k, block_u, block_i, interpret, exact_matmul,
+        suspect_cap,
     )
     return vals[:n_u], idx[:n_u]
 

@@ -30,8 +30,11 @@ power-law-degree batch needs capacity ≈ batch/S only when indices are
 uniformly owned — skewed batches need headroom; callers retry or resize
 on overflow — serving.TopKServer doubles its capacity and re-issues,
 bounded by capacity == local batch which can never overflow — and they
-never get silently-wrong results: dropped lookups return zero rows and
-dropped updates vanish atomically, exactly like a masked-out example).
+never get silently-wrong results: dropped lookups return zero rows plus
+a per-occurrence validity mask (``_exchange(with_valid=True)``) that the
+explicit-exchange trainer uses to void the whole triplet — loss AND
+gradients — and dropped updates vanish atomically, so an overflowed
+example behaves exactly like one removed from the batch).
 """
 
 from __future__ import annotations
@@ -94,8 +97,14 @@ def _build_send(uniq, n_shards, rows_per_shard, capacity):
 
 
 def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
-              capacity):
-    """Per-device body (runs under shard_map)."""
+              capacity, with_valid: bool = False):
+    """Per-device body (runs under shard_map).
+
+    ``with_valid=True`` additionally returns a per-occurrence bool mask
+    (shape of ``idx_local``): False where the occurrence's unique index
+    was dropped by capacity overflow and the returned row is a zero
+    stand-in — the explicit-exchange trainer uses it to void those
+    examples entirely rather than train on zero rows."""
     table_local = table_local  # [rows_per_shard, k]
     idx = idx_local.reshape(-1)  # [b]
     uniq, seg = _dedup_sorted(idx)
@@ -124,10 +133,11 @@ def _exchange(table_local, idx_local, axis, n_shards, rows_per_shard,
         zero,
     )
     out = uniq_rows[seg]
-    return (
-        out.reshape(idx_local.shape + (table_local.shape[1],)),
-        overflow.reshape(1).astype(jnp.int32),
-    )
+    out = out.reshape(idx_local.shape + (table_local.shape[1],))
+    ovf = overflow.reshape(1).astype(jnp.int32)
+    if with_valid:
+        return out, ok[seg].reshape(idx_local.shape), ovf
+    return out, ovf
 
 
 def sharded_lookup(
@@ -187,22 +197,17 @@ def sharded_lookup(
 # ---------------------------------------------------------------------------
 
 
-def _exchange_scatter(table_local, idx_local, rows_local, axis, n_shards,
-                      rows_per_shard, capacity):
-    """Per-device reverse-exchange body (runs under shard_map).
-
-    Routes per-occurrence ``rows_local`` contributions for ``idx_local``
-    back to the shard that owns each row and scatter-ADDS them there —
-    the mirror image of ``_exchange``: local dedup first (occurrences of
-    the same row are segment-summed before they travel), then the same
-    run-offset [S, C] send buffer for the indices and a [S, C, k] buffer
-    for the summed rows, one ``all_to_all`` each, and an owner-side
-    scatter-add (contributions for one row arriving from several source
-    devices accumulate). Dropped/overflow uniques lose their
-    contribution — exactly like dropping those examples from the batch —
-    and are counted in the returned overflow.
-    """
-    k = table_local.shape[1]
+def _route_contributions(idx_local, rows_local, k, axis, n_shards,
+                         rows_per_shard, capacity):
+    """Shared reverse-routing preamble (the mirror image of ``_exchange``):
+    local dedup first (occurrences of the same row are segment-summed
+    before they travel), then the same run-offset [S, C] send buffer for
+    the indices and a [S, C, k] buffer for the summed rows, one
+    ``all_to_all`` each, and translation to owner-local row indices
+    (sentinel-preserving, so a ``mode="drop"`` scatter discards dead
+    slots). Returns (local_idx [S·C], recv_rows [S·C, k], overflow).
+    Used by both the plain scatter-add and the owner-side RMSProp apply —
+    any routing-semantics change lands in exactly one place."""
     idx = idx_local.reshape(-1)
     b = idx.shape[0]
     uniq, seg = _dedup_sorted(idx)
@@ -227,9 +232,25 @@ def _exchange_scatter(table_local, idx_local, rows_local, axis, n_shards,
     local = jnp.where(
         recv_idx == _SENTINEL, _SENTINEL, recv_idx - my_shard * rows_per_shard
     ).reshape(-1)
-    table_local = table_local.at[local].add(
-        recv_rows.reshape(-1, k), mode="drop"
+    return local, recv_rows.reshape(-1, k), overflow
+
+
+def _exchange_scatter(table_local, idx_local, rows_local, axis, n_shards,
+                      rows_per_shard, capacity):
+    """Per-device reverse-exchange body (runs under shard_map).
+
+    Routes per-occurrence ``rows_local`` contributions for ``idx_local``
+    back to the shard that owns each row and scatter-ADDS them there
+    (contributions for one row arriving from several source devices
+    accumulate). Dropped/overflow uniques lose their contribution —
+    exactly like dropping those examples from the batch — and are
+    counted in the returned overflow.
+    """
+    k = table_local.shape[1]
+    local, recv_rows, overflow = _route_contributions(
+        idx_local, rows_local, k, axis, n_shards, rows_per_shard, capacity
     )
+    table_local = table_local.at[local].add(recv_rows, mode="drop")
     return table_local, overflow.reshape(1).astype(jnp.int32)
 
 
@@ -243,37 +264,16 @@ def _exchange_rmsprop(table_local, acc_local, idx_local, grads_local, axis,
     from ..ops.sparse_update import apply_planned_rmsprop, planned_rows
 
     k = table_local.shape[1]
-    idx = idx_local.reshape(-1)
-    b = idx.shape[0]
-    uniq, seg = _dedup_sorted(idx)
-    gsum = (
-        jnp.zeros((b, k), grads_local.dtype)
-        .at[seg]
-        .add(grads_local.reshape(b, k))
+    flat_idx, recv_rows, overflow = _route_contributions(
+        idx_local, grads_local, k, axis, n_shards, rows_per_shard, capacity
     )
-    send_idx, dst_row, dst_col, ok, overflow = _build_send(
-        uniq, n_shards, rows_per_shard, capacity
-    )
-    send_rows = (
-        jnp.zeros((n_shards, capacity, k), grads_local.dtype)
-        .at[dst_row, dst_col]
-        .set(gsum, mode="drop")
-    )
-    recv_idx = jax.lax.all_to_all(send_idx, axis, split_axis=0, concat_axis=0)
-    recv_rows = jax.lax.all_to_all(
-        send_rows, axis, split_axis=0, concat_axis=0
-    )
-    my_shard = jax.lax.axis_index(axis)
-    flat_idx = jnp.where(
-        recv_idx == _SENTINEL, _SENTINEL, recv_idx - my_shard * rows_per_shard
-    ).reshape(-1)
     # second dedup across SOURCE devices: a row requested by several
     # devices must see ONE RMSProp step on the sum of their gradients
     uniq2, seg2 = _dedup_sorted(flat_idx)
     g2 = (
         jnp.zeros((flat_idx.shape[0], k), grads_local.dtype)
         .at[seg2]
-        .add(recv_rows.reshape(-1, k))
+        .add(recv_rows)
     )
     tab_rows, acc_rows = planned_rows(table_local, acc_local, uniq2)
     table_local, acc_local = apply_planned_rmsprop(

@@ -200,12 +200,24 @@ class DistributedBPRTrainer(_DistributedPairwiseTrainer):
             def step(carry, xs):
                 ue, iet, ms_u, ms_it, ovf = carry
                 u, i, j = xs
-                pu, o1 = _exchange(ue, u, "mp", S, rows_u, cap_u)
-                pit, o2 = _exchange(iet, i, "mp", S, rows_i, cap_u)
-                pjt, o3 = _exchange(iet, j, "mp", S, rows_i, cap_u)
+                pu, vu, o1 = _exchange(
+                    ue, u, "mp", S, rows_u, cap_u, with_valid=True
+                )
+                pit, vi, o2 = _exchange(
+                    iet, i, "mp", S, rows_i, cap_u, with_valid=True
+                )
+                pjt, vj, o3 = _exchange(
+                    iet, j, "mp", S, rows_i, cap_u, with_valid=True
+                )
+                # a triplet whose u, i, OR j lookup overflowed carries a
+                # zero stand-in row; weight 0 voids its entire loss and
+                # gradient so the overflow behaves exactly like dropping
+                # the example (a dropped-i triplet must not push a
+                # garbage bias gradient into its real j row)
+                w = (vu & vi & vj).astype(jnp.float32)
                 loss, grads = jax.value_and_grad(
                     _pairwise_loss, argnums=(0, 1, 2)
-                )(pu, pit, pjt, lu, li, lj, lb, mode, k)
+                )(pu, pit, pjt, lu, li, lj, lb, mode, k, w)
                 loss = jax.lax.psum(loss, "mp")
                 ue, ms_u, o4 = _exchange_rmsprop(
                     ue, ms_u, u, grads[0], "mp", S, rows_u, cap_u,
