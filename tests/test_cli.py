@@ -359,3 +359,29 @@ def test_train_explicit_exchange_rejected_for_vbpr(fold_dir, tmp_path):
             "--k", "6", "--epochs", "1", "--mesh", "1x8",
             "--exchange", "explicit",
         ])
+
+
+def test_train_explicit_exchange_rejected_without_mesh(fold_dir, tmp_path):
+    """--exchange explicit with no --mesh must exit (the single-chip path
+    would silently ignore the flag) rather than train the wrong path."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="mesh"):
+        main([
+            "train", "--model", "bpr", "-d", str(fold_dir),
+            "-o", str(tmp_path / "b"), "--k", "6", "--epochs", "1",
+            "--exchange", "explicit",
+        ])
+
+
+def test_train_explicit_exchange_rejected_for_dp_mesh(fold_dir, tmp_path):
+    """--exchange explicit on a dp>1 mesh exits with a clear message
+    instead of a raw AssertionError from the step builder."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="pure-mp"):
+        main([
+            "train", "--model", "bpr", "-d", str(fold_dir),
+            "-o", str(tmp_path / "b2"), "--k", "6", "--epochs", "1",
+            "--mesh", "2x4", "--exchange", "explicit",
+        ])
