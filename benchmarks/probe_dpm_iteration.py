@@ -1,0 +1,90 @@
+"""Measure ONE framework DPM iteration at the reference scale (real TPU).
+
+Pairs with the reference CPU divisor minted by
+``reference_als_baseline.py --models dpm`` (BASELINE.md "ALS iteration"
+rows): 69,878 x 10,380, nnz=4M, k=50, d=20000, MLP 2000/1000 — per
+iteration the encoder re-predicts all item latents, both ALS half-sweeps
+run with the prediction as the item prior, and the encoder takes one
+shuffled SGD sweep toward the solved latents (reference single/dpm.py:
+20-64 structure, device-resident end to end).
+
+Timing per CLAUDE.md: synced warmup + one burned timed-size block.
+
+Usage: python benchmarks/probe_dpm_iteration.py [--iters 2] [--d 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--d", type=int, default=20000)
+    ap.add_argument("--k", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.data.dataset import Interactions
+    from topk_rec_tpu.models import DPM, MLPEncoder
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, nnz = 69878, 10380, 4_000_000
+    draw = int(nnz * 1.3)
+    uu = rng.integers(0, n_users, size=draw).astype(np.int64)
+    ii = ((rng.zipf(1.1, size=draw) - 1) % n_items).astype(np.int64)
+    key = np.unique(uu * n_items + ii)
+    rng.shuffle(key)
+    key = key[:nnz]
+    inter = Interactions(
+        n_users, n_items,
+        (key // n_items).astype(np.int32), (key % n_items).astype(np.int32),
+    )
+    feat = rng.standard_normal((n_items, args.d)).astype(np.float32)
+
+    model = DPM(k=args.k, d=args.d, seed=0)
+    model.set_interactions(inter)
+    model.set_features(feat)
+    enc = MLPEncoder(args.k, args.d, seed=0)
+    model.encoder = enc
+    rated_items, rated_users = model._rated_dev()
+
+    def dpm_iter():
+        Fe = enc.predict(model.feat)
+        model.fie = np.array(Fe, dtype=np.float32, copy=True)
+        model.fue, _ = model._half_sweep(
+            model._user_plan, model.fue, model.fie, rated_items,
+            model.a, model.b, model.lu, as_numpy=False,
+        )
+        fie_dev, fit = model._half_sweep(
+            model._item_plan, model.fie, model.fue, rated_users,
+            model.a, model.b, model.lv, prior=jnp.asarray(Fe),
+            as_numpy=False,
+        )
+        model.fie = np.array(fie_dev)
+        loss = float(fit) + enc.fit(model.feat, model.fie)
+        return loss
+
+    dpm_iter()  # compile + warm
+    dpm_iter()  # burn first timed-size block
+    t0 = time.time()
+    for _ in range(args.iters):
+        dpm_iter()
+    dt = (time.time() - t0) / args.iters
+    print(
+        f"framework DPM (d={args.d}): {dt:.2f} s/iteration "
+        f"(encoder predict + 2 ALS half-sweeps + encoder fit sweep)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,20 @@ def main():
             f"incl. one-time FF gram, total {total:.1f} s)",
             flush=True,
         )
+    if "dpm" in args.models:
+        rng = np.random.default_rng(2)
+        feat = rng.standard_normal((n_items, args.d)).astype(np.float32)
+        times = []
+        rm.train_dpm_reference(
+            n_users, n_items, pos_u, pos_i, feat, k=args.k,
+            max_iter=args.iters, seed=0, verbose=True, iter_times=times,
+        )
+        print(
+            f"reference DPM (d={args.d}): {np.mean(times):.1f} s/iteration "
+            f"(ALS + MLP out/fit sweeps; per-iter: "
+            f"{['%.1f' % t for t in times]})",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

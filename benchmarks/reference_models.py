@@ -397,6 +397,7 @@ def train_dpm_reference(
     seed: int = 0,
     hidden=(2000, 1000),
     verbose: bool = False,
+    iter_times: Optional[list] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Reference DPM (ref single/dpm.py:20-64): per iteration the encoder
     re-predicts fie (dpm.py:33), user/item ALS runs with the prediction
@@ -437,6 +438,8 @@ def train_dpm_reference(
             else:
                 fie[j] = np.linalg.solve(B + ik * lv, Fe_j * lv)
         enc.fit(feat, fie)  # one sweep toward the latents (dpm.py:59)
+        if iter_times is not None:
+            iter_times.append(time.time() - t1)
         if verbose:
             print(
                 f"  ref-dpm iter {it} ({time.time() - t1:.1f}s)",
