@@ -36,18 +36,14 @@ def main():
     from topk_rec_tpu.data.dataset import Interactions
     from topk_rec_tpu.models import DPM, MLPEncoder
 
-    rng = np.random.default_rng(0)
-    n_users, n_items, nnz = 69878, 10380, 4_000_000
-    draw = int(nnz * 1.3)
-    uu = rng.integers(0, n_users, size=draw).astype(np.int64)
-    ii = ((rng.zipf(1.1, size=draw) - 1) % n_items).astype(np.int64)
-    key = np.unique(uu * n_items + ii)
-    rng.shuffle(key)
-    key = key[:nnz]
-    inter = Interactions(
-        n_users, n_items,
-        (key // n_items).astype(np.int32), (key % n_items).astype(np.int32),
-    )
+    sys.path.insert(0, "/root/repo/benchmarks")
+    from reference_als_baseline import movielens_scale_interactions
+
+    # SAME fold generator as the reference divisor run — the comparison
+    # is only valid if both sides see the same degree distribution
+    pos_u, pos_i, n_users, n_items = movielens_scale_interactions()
+    inter = Interactions(n_users, n_items, pos_u, pos_i)
+    rng = np.random.default_rng(2)  # matches the --models dpm feat seed
     feat = rng.standard_normal((n_items, args.d)).astype(np.float32)
 
     model = DPM(k=args.k, d=args.d, seed=0)

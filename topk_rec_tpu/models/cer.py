@@ -219,6 +219,10 @@ class CER(WMF):
             np.arange(self.n_items), self.inter.rated_items
         )
         self.fie[unrated] = Fe[unrated]
+        # release the device feature matrix + item gram (~1.2GB HBM at
+        # d=20000) — training is done; the next train() re-uploads
+        self._feat_dev = None
+        self._gram_items = None
 
     # ---- model-specific interchange: final-E.dat (ref cer.py:75-85) ----
 

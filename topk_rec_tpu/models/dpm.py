@@ -147,6 +147,10 @@ class DPM(WMF):
         Fe = self.encoder.predict(self.feat)
         unrated = np.setdiff1d(np.arange(self.n_items), inter.rated_items)
         self.fie[unrated] = Fe[unrated]
+        # release the encoder's device feature cache (~800MB HBM at
+        # d=20000) — training is done; eval/serving needs the headroom
+        if hasattr(self.encoder, "drop_feature_cache"):
+            self.encoder.drop_feature_cache()
 
     # ---- encoder checkpoint (TF-Saver analog, ref dpm.py:66-76) ----
 

@@ -182,8 +182,22 @@ class MLPEncoder(Encoder):
         key = (id(X), X.shape)
         if getattr(self, "_x_cache_key", None) != key:
             self._x_cache_key = key
+            # keep a reference to the SOURCE array: the id() key is only
+            # unique while the object is alive — without pinning it, a
+            # freshly-allocated same-shape array could reuse the freed
+            # address and silently hit the stale cache
+            self._x_cache_src = X
             self._x_cache = jnp.asarray(X, dtype=jnp.float32)
         return self._x_cache
+
+    def drop_feature_cache(self) -> None:
+        """Release the cached device feature matrix (~800MB of HBM at the
+        reference d=20000 scale). Called by DPM.train once the encoder's
+        last prediction is done; safe to call anytime — the next
+        predict/fit re-uploads."""
+        self._x_cache_key = None
+        self._x_cache_src = None
+        self._x_cache = None
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         return np.asarray(_predict(self.params, self._feat_dev(X)))
