@@ -102,3 +102,25 @@ def test_dpm_with_sdae_cold_start(small_inter):
     if unrated.size:
         Fe = enc.predict(feat)
         np.testing.assert_allclose(model.fie[unrated], Fe[unrated], rtol=1e-6)
+
+
+def test_feature_cache_pin_and_release():
+    """The device feature cache pins its source array (id-reuse safety)
+    and releases via drop_feature_cache; predictions stay correct across
+    cache drops and distinct same-shape inputs."""
+    import numpy as np
+
+    from topk_rec_tpu.models import MLPEncoder
+
+    enc = MLPEncoder(k=3, d=8, hidden_layers=(6,), seed=0)
+    rng = np.random.default_rng(0)
+    X1 = rng.normal(size=(10, 8)).astype(np.float32)
+    p1 = enc.predict(X1)
+    assert enc._x_cache_src is X1  # source pinned while cached
+    X2 = rng.normal(size=(10, 8)).astype(np.float32)
+    p2 = enc.predict(X2)  # different array => cache refresh
+    assert enc._x_cache_src is X2
+    assert not np.allclose(p1, p2)
+    enc.drop_feature_cache()
+    assert enc._x_cache is None and enc._x_cache_src is None
+    np.testing.assert_allclose(enc.predict(X2), p2, rtol=1e-6)
