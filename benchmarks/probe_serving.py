@@ -1,0 +1,70 @@
+"""Pipelined serving latency per selection method (real TPU).
+
+Re-measures BASELINE.md's "Serving latency" section: TopKServer over the
+MovieLens-scale tables (69,878 x 10,380, d=50), batches of 256 users,
+k=30, seen-exclusion on; many batches dispatched asynchronously with one
+host sync per batch result fetch (recommend_async). Timing per CLAUDE.md:
+compile warmup, then one burned timed-size block, then the timed block.
+
+Usage: python benchmarks/probe_serving.py [--batches 48] [--batch 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmarks")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--methods", default="approx,pallas,exact")
+    args = ap.parse_args()
+
+    from reference_als_baseline import movielens_scale_interactions
+
+    from topk_rec_tpu.data.dataset import Interactions
+    from topk_rec_tpu.serving import TopKServer
+
+    pos_u, pos_i, n_users, n_items = movielens_scale_interactions()
+    inter = Interactions(n_users, n_items, pos_u, pos_i)
+    rng = np.random.default_rng(0)
+    d = 50
+    srv = TopKServer(
+        rng.normal(size=(n_users, d)).astype(np.float32),
+        rng.normal(size=(n_items, d)).astype(np.float32),
+        rng.normal(size=n_items).astype(np.float32),
+        interactions=inter,
+    )
+    batches = [
+        rng.integers(0, n_users, size=args.batch).astype(np.int32)
+        for _ in range(args.batches)
+    ]
+
+    def run(method):
+        outs = [srv.recommend_async(b, 30, method=method) for b in batches]
+        for o in outs:
+            np.asarray(o[0])
+
+    for method in args.methods.split(","):
+        run(method)  # compile + warm
+        run(method)  # burn first timed-size block
+        t0 = time.time()
+        run(method)
+        dt = (time.time() - t0) / len(batches)
+        print(
+            f"{method:7s} pipelined {dt * 1e3:6.2f} ms/batch "
+            f"({args.batch / dt:,.0f} users/s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

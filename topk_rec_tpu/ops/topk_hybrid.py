@@ -4,8 +4,8 @@ TPU has no sort unit: exact top-k is iterative max-extraction on the VPU,
 which is the measured wall for every exact variant of the serving shape
 (BASELINE.md "Scoring / top-k speed-of-light"). But the hardware DOES have
 a fast approximate selector: ``jax.lax.approx_max_k`` (partial per-bin
-reduction, arXiv:2206.14286) measured 22 ms vs 39-53 ms for the best exact
-Pallas kernel at 69878x10380. This module makes the approx path EXACT:
+reduction, arXiv:2206.14286) measured 22 ms vs 25.4 ms for the best exact
+Pallas kernel (v3) at 69878x10380. This module makes the approx path EXACT:
 
   pass A  ``approx_max_k(scores, k+Δ)`` — oversampled approximate top-k';
   pass B  a tiny fused Pallas kernel recomputes the scores tile-by-tile
