@@ -140,3 +140,15 @@ def test_distributed_serving_skewed_batch_resizes(small_inter):
     # subsequent queries reuse the grown capacity without re-overflowing
     dv2, di2 = dist.recommend(uids, k=9)
     np.testing.assert_array_equal(di2, li)
+
+
+def test_hybrid_method_matches_exact(server):
+    srv, *_ = server
+    users = np.arange(16)
+    ev, ei = srv.recommend(users, k=8, method="exact")
+    hv, hi = srv.recommend(users, k=8, method="hybrid")
+    # hybrid serving uses fast (bf16) matmul like the pallas method:
+    # exact top-k of the bf16 scores; compare values within bf16 noise
+    ev, hv = np.asarray(ev), np.asarray(hv)
+    finite = np.isfinite(ev) & np.isfinite(hv)
+    np.testing.assert_allclose(hv[finite], ev[finite], rtol=2e-2, atol=1e-2)

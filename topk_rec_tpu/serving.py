@@ -47,6 +47,16 @@ def _query(
             user_emb, V, bias, mask, k, exact_matmul=False
         )
         return jnp.where(vals <= NEG_INF, -jnp.inf, vals), idx
+    if method == "hybrid":
+        # exactness-repaired approx_max_k (ops/topk_hybrid.py): exact
+        # results at approx-selector speed when few rows need repair
+        from .ops.topk_pallas import NEG_INF
+        from .ops.topk_hybrid import exact_topk_hybrid
+
+        vals, idx = exact_topk_hybrid(
+            user_emb, V, bias, mask, k, exact_matmul=False
+        )
+        return jnp.where(vals <= NEG_INF, -jnp.inf, vals), idx
     scores = jnp.dot(user_emb, V.T, preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias[None, :]
