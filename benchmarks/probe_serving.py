@@ -48,22 +48,36 @@ def main():
         for _ in range(args.batches)
     ]
 
-    def run(method):
+    import jax.numpy as jnp
+
+    def run_sync_once(method):
+        # device-throughput view (matches the round-2 BASELINE numbers):
+        # all batches dispatched, ONE host sync at the end — measures the
+        # chip's serving rate without paying a tunnel RTT per batch
+        outs = [srv.recommend_async(b, 30, method=method) for b in batches]
+        float(sum(jnp.sum(o[0]) for o in outs))
+
+    def run_fetch_each(method):
+        # end-to-end view: each batch's [256, 30] results fetched to host
+        # (a real server returns them) — tunnel RTT per batch included
         outs = [srv.recommend_async(b, 30, method=method) for b in batches]
         for o in outs:
             np.asarray(o[0])
 
     for method in args.methods.split(","):
-        run(method)  # compile + warm
-        run(method)  # burn first timed-size block
-        t0 = time.time()
-        run(method)
-        dt = (time.time() - t0) / len(batches)
-        print(
-            f"{method:7s} pipelined {dt * 1e3:6.2f} ms/batch "
-            f"({args.batch / dt:,.0f} users/s)",
-            flush=True,
-        )
+        for name, run in (
+            ("sync-once", run_sync_once), ("fetch-each", run_fetch_each)
+        ):
+            run(method)  # compile + warm
+            run(method)  # burn first timed-size block
+            t0 = time.time()
+            run(method)
+            dt = (time.time() - t0) / len(batches)
+            print(
+                f"{method:7s} {name:10s} {dt * 1e3:6.2f} ms/batch "
+                f"({args.batch / dt:,.0f} users/s)",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
