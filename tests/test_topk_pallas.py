@@ -131,11 +131,11 @@ def test_fused_all_ties_full_fallback():
 
 
 def test_fused_large_catalog_span_merge():
-    """Catalogs beyond 4 item tiles process in column spans (bounded VMEM
+    """Catalogs beyond 3 item tiles process in column spans (bounded VMEM
     scratch) whose exact per-span top-ks merge to the exact global top-k,
     tie order included."""
     rng = np.random.default_rng(7)
-    n_u, n_i, d, k = 48, 1500, 12, 16  # block_i=128 -> 4-tile spans of 512
+    n_u, n_i, d, k = 48, 1500, 12, 16  # block_i=128 -> 3-tile spans of 384
     U = rng.normal(size=(n_u, d)).astype(np.float32)
     V = rng.normal(size=(n_i, d)).astype(np.float32)
     bias = rng.normal(size=n_i).astype(np.float32)

@@ -354,15 +354,16 @@ def fused_score_topk(
     n_u, d = U.shape
     n_i = V.shape[0]
     # The v3 merged candidate scratch grows with the item-tile count
-    # (2 × [block_u, 3·128·n_tiles] VMEM); past ~4 tiles it would crowd
-    # the ~16MB VMEM budget that also holds the score tile. Larger
-    # catalogs are processed in column spans — each span's top-k is
-    # exact (including its suspect repair), the global top-k is a subset
-    # of the union, and a small XLA top_k over the concatenated
+    # (2 × [block_u, 3·128·n_tiles] VMEM); past 3 tiles it crowds the
+    # 16MB VMEM budget that also holds the score tile (a 4-tile span
+    # measured 784KB OVER the scoped-vmem limit on v5e). Larger catalogs
+    # are processed in column spans — each span's top-k is exact
+    # (including its suspect repair), the global top-k is a subset of
+    # the union, and a small XLA top_k over the concatenated
     # [n_u, spans·k] results merges them exactly. Span concat order
     # preserves lax.top_k tie semantics (value desc, index asc): spans
     # are ascending column ranges and within-span ties are index-asc.
-    max_span = 4 * block_i
+    max_span = 3 * block_i
     if n_i > max_span:
         vs, is_ = [], []
         for start in range(0, n_i, max_span):
