@@ -321,6 +321,54 @@ def main() -> None:
     except Exception as e:
         print(f"als extra failed: {e}", file=sys.stderr)
 
+    # DPM iteration (encoder predict + ALS sweeps + encoder fit sweep)
+    # at the reference d=20000; reference divisor 155 s/iteration
+    # (benchmarks/reference_als_baseline.py --models dpm, BASELINE.md)
+    try:
+        import jax.numpy as jnp
+
+        from topk_rec_tpu.models import DPM, MLPEncoder
+
+        rng3 = np.random.default_rng(2)
+        dpm = DPM(k=50, d=20000, seed=0)
+        dpm.set_interactions(inter)
+        dpm.set_features(
+            rng3.standard_normal((n_items, 20000)).astype(np.float32)
+        )
+        enc = MLPEncoder(50, 20000, seed=0)
+        dpm.encoder = enc
+        rated_items, rated_users = dpm._rated_dev()
+
+        def dpm_iter():
+            Fe = enc.predict(dpm.feat)
+            dpm.fie = np.array(Fe, dtype=np.float32, copy=True)
+            dpm.fue, _ = dpm._half_sweep(
+                dpm._user_plan, dpm.fue, dpm.fie, rated_items,
+                dpm.a, dpm.b, dpm.lu, as_numpy=False,
+            )
+            fie_dev, fit = dpm._half_sweep(
+                dpm._item_plan, dpm.fie, dpm.fue, rated_users,
+                dpm.a, dpm.b, dpm.lv, prior=jnp.asarray(Fe),
+                as_numpy=False,
+            )
+            dpm.fie = np.array(fie_dev)
+            float(fit)
+            enc.fit(dpm.feat, dpm.fie)
+
+        dpm_iter()  # compile + warm
+        dpm_iter()  # burn first timed-size block
+        t0 = time.time()
+        dpm_iter()
+        dt_dpm = time.time() - t0
+        print(
+            f"extra: dpm iter {dt_dpm:.2f} s/iteration "
+            "(d=20000 encoder predict + ALS + fit; reference divisor "
+            "155 s)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"dpm extra failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
