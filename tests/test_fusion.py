@@ -144,3 +144,33 @@ def test_evaluate_fused_per_user_weights(modal_setup):
     seen[inter.seen_u, inter.seen_i] = True
     oracle = evaluate_oracle(S, seen, likes, step=5, total=20)
     np.testing.assert_array_equal(res.hits, oracle.hits)
+
+
+def test_evaluate_fused_want_rr(modal_setup):
+    """Default fused eval skips the raw-rank pass (rr zeros); want_rr=True
+    reproduces the oracle's reciprocal-rank variant."""
+    from topk_rec_tpu.eval.protocol import evaluate_oracle
+
+    inter, modalities = modal_setup
+    rng = np.random.default_rng(9)
+    cand = np.arange(inter.n_items)
+    likes = {u: [int(rng.integers(inter.n_items))] for u in range(12)}
+    w = np.array([0.5, 0.5], dtype=np.float32)
+    res_norr = evaluate_fused(
+        modalities, w, inter.seen_bitmap, cand, likes, step=5, total=20
+    )
+    assert not res_norr.rr.any()
+    res_rr = evaluate_fused(
+        modalities, w, inter.seen_bitmap, cand, likes, step=5, total=20,
+        want_rr=True,
+    )
+    S = sum(
+        wf * (np.asarray(U) @ np.asarray(V).T)
+        for wf, U, V in zip(w, modalities._U, modalities._V)
+    )
+    seen = np.zeros((inter.n_users, inter.n_items), bool)
+    seen[inter.seen_u, inter.seen_i] = True
+    oracle = evaluate_oracle(S, seen, likes, step=5, total=20)
+    np.testing.assert_array_equal(res_rr.hits, oracle.hits)
+    np.testing.assert_allclose(res_rr.rr, oracle.rr, rtol=1e-6)
+    np.testing.assert_array_equal(res_norr.hits, oracle.hits)

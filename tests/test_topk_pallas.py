@@ -152,3 +152,47 @@ def test_fused_large_catalog_span_merge():
     want_vals, want_idx = _reference(U, V, bias, mask, k)
     np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_fused_adversarial_regroup_m5_collision():
+    """FIVE of the top-k share one lane class (col mod 128) spread across
+    item tiles: every one survives the per-tile depth-3 stats, but the v4
+    regroup (depth 4 per lane) must displace the fifth — the m5 trigger
+    has to fire and the in-jit exact fallback must repair the row."""
+    n_i, k = 768, 6  # 3 tiles of 256 (C=2), merged W=1152 -> regroup to 512
+    d = 1
+    U = np.ones((8, d), np.float32)
+    V = np.full((n_i, d), -5.0, np.float32)
+    # lane class 7: cols 7,135 (tile 0), 263,391 (tile 1), 519 (tile 2) —
+    # at most 2 per (tile, group) so all are stats-visible (C=2)
+    for col, s in [(7, 100.0), (135, 99.0), (263, 98.0), (391, 97.0),
+                   (519, 96.0)]:
+        V[col, 0] = s
+    V[11, 0] = 50.0  # 6th best lives in another lane class
+    mask = np.zeros((8, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=8, block_i=256, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    assert list(np.asarray(idx)[0]) == [7, 135, 263, 391, 519, 11]
+
+
+def test_fused_large_k_skips_regroup():
+    """k above _REGROUP_MAX_K must bypass the regroup (quintuple-collision
+    rate would swamp the repair capacity) and still match lax.top_k on a
+    multi-tile catalog."""
+    rng = np.random.default_rng(11)
+    n_u, n_i, d, k = 32, 768, 8, 64
+    U = rng.normal(size=(n_u, d)).astype(np.float32)
+    V = rng.normal(size=(n_i, d)).astype(np.float32)
+    mask = (rng.random((n_u, n_i)) < 0.1).astype(np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=16, block_i=256, interpret=True,
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)

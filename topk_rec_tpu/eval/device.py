@@ -195,6 +195,7 @@ def topk_unseen_scorer(
     k: int,
     user_chunk: int = 8192,
     packed_seen: Optional[np.ndarray] = None,
+    want_rr: bool = True,
 ):
     """Top-k unseen candidates from an arbitrary chunk scorer.
 
@@ -203,6 +204,11 @@ def topk_unseen_scorer(
     modality score matrices per chunk without ever materializing the full
     [n_users, n_cand, n_feats] tensor the reference builds in RAM,
     reference old/methods/efusion.py:141-155).
+
+    ``want_rr=False`` skips the raw-rank reconstruction (a full per-row
+    sort per chunk, ``_seen_above_from_scores``) and returns
+    ``seen_above=None`` — accuracy-only callers (the CLI ``fuse`` path)
+    shouldn't pay for a metric they never print.
     """
     from ..ops.topk_pallas import pack_candidate_bitmap
 
@@ -215,17 +221,18 @@ def topk_unseen_scorer(
     bm_dev = jnp.asarray(packed)
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
-    out_sa = np.empty((n_users, k), dtype=np.int32)
+    out_sa = np.empty((n_users, k), dtype=np.int32) if want_rr else None
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         scores = scorer(start, stop)
         vals, idx = _mask_topk(scores, bm_dev[start:stop], n_cand, k)
-        sa = _seen_above_from_scores(
-            jnp.asarray(scores), bm_dev[start:stop], idx, n_cand
-        )
+        if want_rr:
+            sa = _seen_above_from_scores(
+                jnp.asarray(scores), bm_dev[start:stop], idx, n_cand
+            )
+            out_sa[start:stop] = np.asarray(sa)
         out_vals[start:stop] = np.asarray(vals)
         out_idx[start:stop] = np.asarray(idx)
-        out_sa[start:stop] = np.asarray(sa)
     return out_vals, out_idx, out_sa
 
 

@@ -268,6 +268,7 @@ def evaluate_fused(
     total: int = 30,
     user_chunk: int = 4096,
     packed_seen: np.ndarray = None,
+    want_rr: bool = False,
 ) -> EvalResult:
     """Evaluate the weighted fusion under the standard protocol.
 
@@ -276,6 +277,10 @@ def evaluate_fused(
     never materializes globally. ``packed_seen`` lets callers evaluating
     several strategies on one (fold, scenario) pack the candidate-space
     seen bitmap once (pack_candidate_bitmap) instead of per call.
+    ``want_rr`` defaults OFF: the fusion surfaces (CLI ``fuse``, the
+    reference's fusion scripts) print accuracy only, and the raw-rank
+    reconstruction costs a full per-row sort per chunk; pass True to get
+    the reciprocal-rank variant populated (ref utils.py:116-119).
     """
     weights = np.asarray(weights, dtype=np.float32)
     per_user = weights.ndim == 2
@@ -302,6 +307,7 @@ def evaluate_fused(
         total,
         user_chunk,
         packed_seen=packed_seen,
+        want_rr=want_rr,
     )
     return _count_hits(
         idx, vals, seen_above, likes, len(np.asarray(cand_ids)), step, total

@@ -25,19 +25,27 @@ kernel (measured 0.27 ms/round vs a 14.3 ms everything-else floor,
 benchmarks/probe_topk_pieces.py), so one sweep over the merged buffer
 beats a sweep per tile; and depth-3 visibility shrinks the suspect rate
 (below) ~70x, which shrinks the XLA-side re-rank — formerly ~15 ms of
-the total — to noise.
+the total — to noise. v4 attacks the two remaining cost centers:
+(a) the group stats become a SINGLE-PASS running top-3+m4 cascade
+(~15 VPU ops per score element vs v3's four sequential masked sweeps +
+position-resolve passes at ~28) — each element is inserted once into a
+sorted (m1..m3, col1..col3) register set and the final displaced value
+feeds m4; (b) before the extraction rounds, a depth-4 lane cascade
+REGROUPS the merged buffer from 3·128·n_tiles lanes to 512, with the
+max displaced value (m5) joining the exactness trigger (see
+_REGROUP_DEPTH for the collision math that picks depth 4 and caps k).
 
 Top-3 visibility is exact unless one group contributes ≥4 of a row's
-top-k. That event is DETECTED exactly: the kernel also tracks the row-max
-of every group's 4th-best value (run_m3 buffer, now holding m4); a row is
-suspect iff that value ≥ its k-th selected value (an invisible
-4th-in-group element could outrank the returned k-th). Suspect rows
-(≈0.05% for random placement at k=30, group 32 — quadruple collisions
-over 384 group-cells; ties also trigger) are re-ranked exactly by a
-bounded XLA fallback inside the same jit; if suspects overflow the
-fallback capacity, the whole batch falls back to full ``lax.top_k``.
-Results therefore always equal lax.top_k's (ties included, via the ≥
-trigger).
+top-k (and regroup visibility unless one lane class contributes ≥5).
+Both events are DETECTED exactly: the kernel tracks the row-max of every
+group's 4th-best value (run_m4) and the regroup's displaced maximum
+(m5); a row is suspect iff either ≥ its k-th selected value (an
+invisible element could outrank the returned k-th). Suspect rows
+(≈0.1% combined for random placement at k=30; ties also trigger) are
+re-ranked exactly by a bounded XLA fallback inside the same jit; if
+suspects overflow the fallback capacity, the whole batch falls back to
+full ``lax.top_k``. Results therefore always equal lax.top_k's (ties
+included, via the ≥ trigger).
 
 Measured on v5e at 69878x10380xd50, k=30 (bf16 matmul): v1 ~95 ms
 (VPU-bound full-width rounds), v2 38.5-53 ms (per-tile extraction +
@@ -68,16 +76,45 @@ _RUN_LANES = 128  # lane-aligned running-buffer width; k must be <= this
 _CHUNK = 128      # group-stat chunk width (contiguous lane slices)
 
 
+def _top_insert(m, g, v, gv):
+    """One level of the running top-cascade: insert (v, gv) into slot (m, g).
+
+    Returns (new_m, new_g, displaced_v, displaced_gv). Strict ``>`` keeps
+    the incumbent on value ties, so earlier-inserted (lower item column)
+    cells stay at higher levels — tie ORDER between levels is immaterial
+    downstream (the extraction picks min-index among value-ties over the
+    whole buffer), only membership is, and ties crossing the visibility
+    boundary fire the m4/m5 suspect trigger.
+    5 VPU ops: cmp + max + min + 2 selects.
+    """
+    gt = v > m
+    new_m = jnp.maximum(v, m)
+    disp_v = jnp.minimum(v, m)
+    new_g = jnp.where(gt, gv, g)
+    disp_g = jnp.where(gt, g, gv)
+    return new_m, new_g, disp_v, disp_g
+
+
+# Regroup the merged candidate buffer to this many 128-lane levels before
+# the extraction rounds (see _extract). Only safe for small k: a row needs
+# >= REGROUP_DEPTH+1 of its top-k in one lane class (col mod 128) to
+# become invisible, which the m5 trigger detects; the quintuple-collision
+# rate C(k,5)/128^4 is 0.05% at k=30 but 2.8% at k=64 (over the default
+# repair capacity), so larger k skips the regroup.
+_REGROUP_DEPTH = 4
+_REGROUP_MAX_K = 48
+
+
 def _kernel(
-    u_ref, v_ref, b_ref, m_ref, out_v_ref, out_i_ref, out_m3_ref,
-    cand_v, cand_i, run_m3,
+    u_ref, v_ref, b_ref, m_ref, out_v_ref, out_i_ref, out_trig_ref,
+    cand_v, cand_i, run_m4,
     *, k: int, exact_matmul: bool,
 ):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        run_m3[:] = jnp.full(run_m3.shape, NEG_INF, jnp.float32)
+        run_m4[:] = jnp.full(run_m4.shape, NEG_INF, jnp.float32)
 
     tu, ti = u_ref.shape[0], v_ref.shape[0]
     # HIGHEST = true-fp32 matmul (multi-pass on the MXU) for eval-protocol
@@ -94,73 +131,46 @@ def _kernel(
     # seen/padding mask: nonzero -> excluded
     scores = jnp.where(m_ref[:] != 0, NEG_INF, scores)
 
-    # ---- per-group top-3 stats over C lane-strided chunks ----
+    # ---- per-group running top-3 (+m4 trigger) over C lane-strided
+    # chunks (v4) ----
+    # v3 computed m1->m2->m3->m4 as four SEQUENTIAL masked sweeps plus
+    # position-resolve passes (~28 VPU ops per score element); v4 inserts
+    # each chunk once into a sorted (m1..m3, gcol1..gcol3) register set —
+    # a compare/select cascade of ~15 ops per element, touching each
+    # score exactly once. m4 (the best value invisible beyond the
+    # per-group top-3) falls out of the cascade as the final displaced
+    # value; it remains the exactness trigger: a row is suspect iff
+    # m4 >= its k-th selected value (an invisible 4th-in-group element
+    # could outrank the returned k-th). Depth 3 keeps the suspect rate at
+    # ~0.05% (quadruple collisions over 384 group-cells at k=30) vs ~3.5%
+    # at depth 2 — the XLA-side re-rank was ~15 ms before depth 3.
     C = ti // _CHUNK
-    chunks = [scores[:, c * _CHUNK : (c + 1) * _CHUNK] for c in range(C)]
-    big = jnp.int32(C)
-
-    m1 = chunks[0]
-    for c in range(1, C):
-        m1 = jnp.maximum(m1, chunks[c])
-    p1 = jnp.full((tu, _CHUNK), big, jnp.int32)
-    for c in range(C - 1, -1, -1):  # reverse => ties keep the LOWEST chunk
-        p1 = jnp.where(chunks[c] == m1, jnp.int32(c), p1)
-
-    if C > 1:
-        m2 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-        for c in range(C):
-            m2 = jnp.maximum(
-                m2, jnp.where(p1 == c, NEG_INF, chunks[c])
-            )
-        p2 = jnp.full((tu, _CHUNK), big, jnp.int32)
-        for c in range(C - 1, -1, -1):
-            p2 = jnp.where(
-                (chunks[c] == m2) & (p1 != c), jnp.int32(c), p2
-            )
-    else:
-        m2 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-        p2 = jnp.full((tu, _CHUNK), big, jnp.int32)
-    if C > 2:
-        m3 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-        for c in range(C):
-            m3 = jnp.maximum(
-                m3, jnp.where((p1 == c) | (p2 == c), NEG_INF, chunks[c])
-            )
-        p3 = jnp.full((tu, _CHUNK), big, jnp.int32)
-        for c in range(C - 1, -1, -1):
-            p3 = jnp.where(
-                (chunks[c] == m3) & (p1 != c) & (p2 != c), jnp.int32(c), p3
-            )
-    else:
-        m3 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-        p3 = jnp.full((tu, _CHUNK), big, jnp.int32)
-    if C > 3:
-        # m4: best value invisible beyond the per-group top-3 — the
-        # exactness trigger (suspect iff m4 >= k-th selected value).
-        # Depth 3 instead of v2's depth 2 cuts the suspect rate from
-        # ~3.5% (C(30,3) triple collisions over 384 group-cells) to
-        # ~0.05% (quadruple collisions), which shrinks the XLA-side
-        # re-rank capacity ~17x — the re-rank was ~15 ms of the total
-        # (postproc decomposition probe, round 3).
-        m4 = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-        for c in range(C):
-            m4 = jnp.maximum(
-                m4,
-                jnp.where(
-                    (p1 == c) | (p2 == c) | (p3 == c), NEG_INF, chunks[c]
-                ),
-            )
-        row_m4 = jnp.max(m4, axis=1, keepdims=True)
-        run_m3[:] = jnp.maximum(run_m3[:], jnp.broadcast_to(row_m4, run_m3.shape))
-
     item_base = j * ti
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (tu, _CHUNK), 1)
-    gcol1 = item_base + p1 * _CHUNK + lane128
-    gcol2 = item_base + jnp.minimum(p2, big - 1) * _CHUNK + lane128
-    gcol3 = item_base + jnp.minimum(p3, big - 1) * _CHUNK + lane128
-    # dead m2/m3 slots (value NEG_INF) keep a deterministic in-tile column
-    # so the index-keyed mask-out below can never alias a live lane.
-    # v3: APPEND this tile's per-group top-3 candidates to the scratch
+    neg = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
+    m1 = m2 = m3 = m4 = neg
+    # dead slots (value NEG_INF) carry an arbitrary in-range column; they
+    # can never be selected ahead of a live lane and index-keyed mask-out
+    # of a NEG_INF alias is harmless.
+    g1 = g2 = g3 = lane128
+    for c in range(C):
+        v = scores[:, c * _CHUNK : (c + 1) * _CHUNK]
+        gv = item_base + c * _CHUNK + lane128
+        m1, g1, v, gv = _top_insert(m1, g1, v, gv)
+        m2, g2, v, gv = _top_insert(m2, g2, v, gv)
+        # level 3 needs no displaced position: only the displaced VALUE
+        # feeds the m4 trigger
+        gt = v > m3
+        m3n = jnp.maximum(v, m3)
+        v = jnp.minimum(v, m3)
+        g3 = jnp.where(gt, gv, g3)
+        m3 = m3n
+        m4 = jnp.maximum(v, m4)
+    if C > 3:
+        row_m4 = jnp.max(m4, axis=1, keepdims=True)
+        run_m4[:] = jnp.maximum(run_m4[:], jnp.broadcast_to(row_m4, run_m4.shape))
+
+    # APPEND this tile's per-group top-3 candidates to the scratch
     # buffer instead of merging via per-tile extraction rounds — the k
     # extraction rounds then run ONCE over the merged [tu, 3*128*n_tiles]
     # candidates at the last tile (v2 ran them per item tile; at 3 tiles
@@ -170,22 +180,52 @@ def _kernel(
     cand_v[:, pl.ds(base, _CHUNK)] = m1
     cand_v[:, pl.ds(base + _CHUNK, _CHUNK)] = m2
     cand_v[:, pl.ds(base + 2 * _CHUNK, _CHUNK)] = m3
-    cand_i[:, pl.ds(base, _CHUNK)] = gcol1
-    cand_i[:, pl.ds(base + _CHUNK, _CHUNK)] = gcol2
-    cand_i[:, pl.ds(base + 2 * _CHUNK, _CHUNK)] = gcol3
+    cand_i[:, pl.ds(base, _CHUNK)] = g1
+    cand_i[:, pl.ds(base + _CHUNK, _CHUNK)] = g2
+    cand_i[:, pl.ds(base + 2 * _CHUNK, _CHUNK)] = g3
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _extract():
-        # NOTE a level-2 per-lane-group re-reduction (narrowing the
-        # extraction from 768 to 256 lanes) was tried and REJECTED: with
-        # only 128 lane groups, >= 3 of the row's top-30 land in one
-        # group for ~25-35% of rows (C(30,3)/128^2 birthday collisions),
-        # so its exactness trigger tripped the full fallback on most
-        # batches (221 ms measured); and the narrowing itself only saved
-        # ~2.8 ms (12.8 -> 10.0) because rounds carry a width-independent
-        # reduction cost. benchmarks/probe notes, round 3.
-        comb_v0 = cand_v[:]
-        comb_i = cand_i[:]
+        # v4 regroup: run a depth-4 lane cascade over the merged buffer
+        # first, narrowing the extraction rounds from 3*128*n_tiles lanes
+        # to 512 — rounds carry a per-lane cost, so at 3 tiles this
+        # roughly halves their work for a ~20-op/lane regroup. A row is
+        # regroup-invisible only if >4 of its top-k share a lane class
+        # (item col mod 128); the max displaced value (m5) joins the m4
+        # trigger so such rows are re-ranked exactly. NOTE the cheaper
+        # depth-2 narrowing (768->256) was tried in round 3 and REJECTED:
+        # >= 3-in-one-lane-class collisions hit ~25-35% of rows and
+        # tripped the full fallback on most batches (221 ms measured).
+        # Depth 4 puts the collision rate back to ~0.05% at k=30.
+        W = cand_v.shape[1]
+        R = W // _CHUNK
+        if k <= _REGROUP_MAX_K and R > _REGROUP_DEPTH:
+            neg = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _CHUNK), 1)
+            r1 = r2 = r3 = r4 = m5 = neg
+            h1 = h2 = h3 = h4 = lane
+            for c in range(R):
+                v = cand_v[:, c * _CHUNK : (c + 1) * _CHUNK]
+                gv = cand_i[:, c * _CHUNK : (c + 1) * _CHUNK]
+                r1, h1, v, gv = _top_insert(r1, h1, v, gv)
+                r2, h2, v, gv = _top_insert(r2, h2, v, gv)
+                r3, h3, v, gv = _top_insert(r3, h3, v, gv)
+                gt = v > r4
+                r4n = jnp.maximum(v, r4)
+                v = jnp.minimum(v, r4)
+                h4 = jnp.where(gt, gv, h4)
+                r4 = r4n
+                m5 = jnp.maximum(v, m5)
+            comb_v0 = jnp.concatenate([r1, r2, r3, r4], axis=1)
+            comb_i = jnp.concatenate([h1, h2, h3, h4], axis=1)
+            row_m5 = jnp.max(m5, axis=1, keepdims=True)
+            trig = jnp.maximum(
+                run_m4[:], jnp.broadcast_to(row_m5, run_m4.shape)
+            )
+        else:
+            comb_v0 = cand_v[:]
+            comb_i = cand_i[:]
+            trig = run_m4[:]
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _RUN_LANES), 1)
         int_max = jnp.int32(2**31 - 1)
 
@@ -216,7 +256,7 @@ def _kernel(
         )
         out_v_ref[:] = new_v
         out_i_ref[:] = new_i
-        out_m3_ref[:] = run_m3[:]
+        out_trig_ref[:] = trig
 
 
 @functools.partial(
@@ -232,7 +272,7 @@ def _fused_call(
     n_u, d = U.shape
     n_i = V.shape[0]
     grid = (n_u // block_u, n_i // block_i)
-    out_v, out_i, out_m3 = pl.pallas_call(
+    out_v, out_i, out_trig = pl.pallas_call(
         functools.partial(_kernel, k=k, exact_matmul=exact_matmul),
         grid=grid,
         in_specs=[
@@ -285,9 +325,10 @@ def _fused_call(
         ) + bias
         return jnp.where(rows_mask != 0, NEG_INF, s)
 
-    # exactness patch: rows where a 3rd-in-group value could outrank the
+    # exactness patch: rows where an invisible value (4th-in-group at the
+    # tile stats, or 5th-in-lane-class at the regroup) could outrank the
     # returned k-th (ties included via >=) are re-ranked by full top_k
-    suspect = out_m3[:, 0] >= vals[:, k - 1]
+    suspect = out_trig[:, 0] >= vals[:, k - 1]
     n_suspect = jnp.sum(suspect.astype(jnp.int32))
     # depth-3 visibility: quadruple-collision suspects ~0.05% of rows at
     # the serving shape (vs 3.5% at depth 2); the default 1/64 capacity is
