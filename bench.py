@@ -175,7 +175,7 @@ def main() -> None:
         "lr": model.lr,
     }
 
-    def run_chunks(n_chunks, batch_size, scan_steps, seed):
+    def run_chunks(n_chunks, batch_size, scan_steps, seed, fused=False):
         key = jax.random.PRNGKey(seed)
         out = 0.0
         for _ in range(n_chunks):
@@ -184,7 +184,7 @@ def main() -> None:
                 model._params, model._ms, sub,
                 s.user_rows, s.flat_pos, s.pos_bitmap,
                 hyper, batch_size, n_items, model.k_candidates,
-                scan_steps, "l2",
+                scan_steps, "l2", fused,
             )
             out = loss
         return float(out)  # forces completion
@@ -231,13 +231,15 @@ def main() -> None:
 
     # --- extra diagnostics to stderr ---
     try:
-        run_chunks(1, 8192, 64, 3)
-        run_chunks(8, 8192, 64, 6)  # burn first timed-size block
+        # large batches auto-select the fused [n_users+n_items, k+1]
+        # table (BPR.train table_layout='auto'); bench the same layout
+        run_chunks(1, 8192, 64, 3, fused=True)
+        run_chunks(8, 8192, 64, 6, fused=True)  # burn first timed-size block
         t0 = time.time()
-        run_chunks(8, 8192, 64, 4)
+        run_chunks(8, 8192, 64, 4, fused=True)
         dt = time.time() - t0
         print(
-            f"extra: large-batch(8192) {8 * 64 * 8192 / dt:,.0f} samples/s",
+            f"extra: large-batch(8192,fused-layout) {8 * 64 * 8192 / dt:,.0f} samples/s",
             file=sys.stderr,
         )
     except Exception as e:  # diagnostics must never break the contract
@@ -366,8 +368,78 @@ def main() -> None:
             "155 s)",
             file=sys.stderr,
         )
+        # fast mode: fit_batch=1024 (DPM.train(fit_batch=...); accuracy
+        # parity vs the batch-64 reference alternation measured by
+        # accuracy_parity.py --models dpm_fast)
+        enc.batch_size = 1024
+        dpm_iter()  # compile + warm (new fit program shape)
+        dpm_iter()  # burn
+        t0 = time.time()
+        dpm_iter()
+        dt_fast = time.time() - t0
+        enc.batch_size = 64
+        print(
+            f"extra: dpm iter fast(fit_batch=1024) {dt_fast:.2f} "
+            "s/iteration (same reference divisor 155 s)",
+            file=sys.stderr,
+        )
     except Exception as e:
         print(f"dpm extra failed: {e}", file=sys.stderr)
+
+    # Fusion: streamed fused eval over 8 modalities x 8,305 candidates
+    # (average strategy — the O(U*C*F) shape every strategy shares).
+    # Reference divisor: the materializing chunked-NumPy path measured by
+    # benchmarks/bench_fusion.py --side ref (285 s on this machine's CPU,
+    # float32, RAM-capped chunks — favorable to the reference, whose real
+    # efusion.py holds the full ~9-18 GB tensor and walks rows in
+    # Python, old/methods/efusion.py:141-155).
+    try:
+        from topk_rec_tpu.fusion import (
+            ModalityScores, average_weights, evaluate_fused,
+        )
+        from topk_rec_tpu.ops.topk_pallas import pack_candidate_bitmap
+
+        rngf = np.random.default_rng(11)
+        F, n_cand = 8, 8305
+        embeds = [
+            (
+                rngf.normal(size=(n_users, 50)).astype(np.float32),
+                rngf.normal(size=(n_items, 50)).astype(np.float32),
+            )
+            for _ in range(F)
+        ]
+        modalities = ModalityScores(embeds)
+        cand_ids = np.sort(
+            rngf.choice(n_items, size=n_cand, replace=False)
+        ).astype(np.int64)
+        likes = {
+            int(u): [int(c) for c in rngf.integers(0, n_cand, size=3)]
+            for u in rngf.choice(n_users, size=10_000, replace=False)
+        }
+        packed = pack_candidate_bitmap(inter.seen_bitmap, cand_ids)
+        w = average_weights(F)
+
+        def fuse_once():
+            return evaluate_fused(
+                modalities, w, inter.seen_bitmap, cand_ids, likes,
+                user_chunk=8192, packed_seen=packed,
+            )
+
+        fuse_once()  # compile + warm
+        fuse_once()  # burn first timed-size block
+        t0 = time.time()
+        fuse_once()
+        dt_fuse = time.time() - t0
+        entries = n_users * n_cand * F
+        print(
+            f"extra: fuse eval {dt_fuse:.2f} s "
+            f"({entries / dt_fuse / 1e9:.2f}G fused entries/s, 8 mod x "
+            f"69878x8305 streamed; reference materializing divisor "
+            f"285 s -> {285.0 / dt_fuse:,.0f}x)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"fuse extra failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

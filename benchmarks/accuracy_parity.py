@@ -248,7 +248,10 @@ def train_side(
                 seed=seed, verbose=cfg["verbose"],
             )
             export_embeddings(mdir, fue, fie, fib)
-        elif model == "dpm":
+        elif model in ("dpm", "dpm_fast"):
+            # dpm_fast's reference side IS the standard batch-64 reference
+            # alternation: the fast mode's claim is that a larger encoder
+            # fit batch reproduces the reference's accuracy
             fue, fie = rm.train_dpm_reference(
                 fold["n_users"], fold["n_items"], fold["pos_u"],
                 fold["pos_i"], fold["feat"], k=cfg["k"],
@@ -297,7 +300,7 @@ def train_side(
                 verbose=cfg["verbose"],
             )
             export_embeddings(mdir, m.fue, m.fie, m.fib.reshape(-1))
-        elif model == "dpm":
+        elif model in ("dpm", "dpm_fast"):
             m = DPM(k=cfg["k"], d=fold["feat"].shape[1], seed=seed)
             m.set_interactions(inter)
             m.set_features(fold["feat"])
@@ -306,7 +309,10 @@ def train_side(
                 hidden_layers=cfg.get("dpm_hidden", (2000, 1000)),
                 seed=seed,
             )
-            m.train(enc, max_iter=cfg["cer_iters"], verbose=cfg["verbose"])
+            m.train(
+                enc, max_iter=cfg["cer_iters"], verbose=cfg["verbose"],
+                fit_batch=1024 if model == "dpm_fast" else None,
+            )
             export_embeddings(mdir, m.fue, m.fie)
         elif model == "wmf":
             m = WMF(k=cfg["k"], seed=seed)
@@ -332,6 +338,7 @@ MODEL_SCENARIOS = {
     "vbpr": ["im", "om"],
     "cer": ["im", "om"],
     "dpm": ["im", "om"],
+    "dpm_fast": ["im", "om"],
 }
 
 
@@ -464,6 +471,21 @@ def main():
         "results": results,
         "summary": summarize(results),
     }
+    # merge into an existing results file (a partial --models run must
+    # not clobber other families' recorded results)
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            merged = prev.get("results", {})
+            merged.update(payload["results"])
+            payload["results"] = merged
+            payload["summary"] = [
+                l for l in prev.get("summary", [])
+                if not any(l.startswith(m + " ") for m in results)
+            ] + payload["summary"]
+        except Exception:
+            pass
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")

@@ -1,0 +1,188 @@
+"""Fusion engine at MovieLens scale: streamed device fusion vs the
+reference's materializing host path.
+
+The design claim under test (fusion/fusion.py module docstring): the
+reference materializes an [n_users x n_cand x n_feats] score tensor in
+host RAM — ~18 GB at 69,878 x 8,305 x 8 in float64, still 9.3 GB in
+float32 (reference old/methods/efusion.py:141-155 getScore loops) — and
+then full-argsorts every fused row (efusion.py doEvaluate). This repo
+streams per-user-chunk score stacks through VMEM into a masked top-k and
+never materializes the tensor anywhere.
+
+Sides:
+  * ``--side device``  (run on the TPU): time the streamed fused eval for
+    each of the five strategies (weights precomputed — the eval is the
+    O(U·C·F) part) + the weight-learning passes.
+  * ``--side ref``     (CPU): a chunked NumPy re-creation of the
+    reference path's per-chunk work — 8 modality matmuls into a stacked
+    [CU, n_cand, 8] float32 tensor (chunked at ~256 MB so the divisor is
+    NOT penalized for the reference's actual 9-18 GB allocation),
+    weighted fuse, full per-row argsort (evaluate.py:81 analog), hit
+    count. This is favorable to the reference: its real scripts also pay
+    python-loop walks and float64.
+
+Timing per CLAUDE.md: synced warmup, burned first block, async dispatch
+where device-side.
+
+Usage:
+  python benchmarks/bench_fusion.py --side ref      # CPU divisor
+  python benchmarks/bench_fusion.py --side device   # TPU (default)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+N_USERS, N_ITEMS, N_CAND, F, K = 69_878, 10_380, 8_305, 8, 50
+
+
+def make_modalities(rng):
+    embeds = []
+    for f in range(F):
+        U = rng.normal(size=(N_USERS, K)).astype(np.float32) * (0.8 + 0.05 * f)
+        V = rng.normal(size=(N_ITEMS, K)).astype(np.float32)
+        embeds.append((U, V))
+    return embeds
+
+
+def make_likes(rng, n_liked_users=20_000):
+    users = rng.choice(N_USERS, size=n_liked_users, replace=False)
+    return {
+        int(u): [int(c) for c in rng.integers(0, N_CAND, size=3)]
+        for u in users
+    }
+
+
+def run_device(args):
+    import jax
+    import jax.numpy as jnp
+
+    from topk_rec_tpu.data.dataset import synthetic_interactions
+    from topk_rec_tpu.fusion import (
+        ModalityScores,
+        average_weights,
+        bpr_fusion_weights,
+        error_weights,
+        evaluate_fused,
+        rank_geometric_weights,
+        svm_fusion_weights,
+    )
+    from topk_rec_tpu.ops.topk_pallas import pack_candidate_bitmap
+
+    rng = np.random.default_rng(0)
+    embeds = make_modalities(rng)
+    inter = synthetic_interactions(N_USERS, N_ITEMS, 4_000_000, seed=1)
+    likes = make_likes(rng)
+    cand_ids = np.sort(
+        rng.choice(N_ITEMS, size=N_CAND, replace=False)
+    ).astype(np.int64)
+    modalities = ModalityScores(embeds)
+    packed = pack_candidate_bitmap(inter.seen_bitmap, cand_ids)
+
+    entries = N_USERS * N_CAND * F
+
+    def timed_eval(name, weights, iters=3):
+        def once():
+            return evaluate_fused(
+                modalities, weights, inter.seen_bitmap, cand_ids, likes,
+                user_chunk=8192, packed_seen=packed,
+            )
+        once()  # compile + warm
+        once()  # burn first timed-size block
+        t0 = time.time()
+        for _ in range(iters):
+            res = once()
+        dt = (time.time() - t0) / iters
+        print(
+            f"device fused-eval {name:12s} {dt:6.2f} s "
+            f"({entries / dt / 1e9:.2f}G fused entries/s) "
+            f"acc@30={res.accuracy[-1]:.4f}",
+            flush=True,
+        )
+        return dt
+
+    w_avg = average_weights(F)
+    t_avg = timed_eval("average", w_avg)
+    timed_eval("rank(p=0.5)", rank_geometric_weights(F, 0.5))
+
+    t0 = time.time()
+    w_err = error_weights(modalities, inter, cand_ids)
+    t_errw = time.time() - t0
+    print(f"device error-weight learn: {t_errw:.2f} s (per-user weights)",
+          flush=True)
+    timed_eval("error", w_err)
+
+    t0 = time.time()
+    w_svm = svm_fusion_weights(modalities, inter, seed=2)
+    t_svmw = time.time() - t0
+    print(f"device svm-weight learn:   {t_svmw:.2f} s (100k pairs)",
+          flush=True)
+    timed_eval("svm", w_svm)
+
+    t0 = time.time()
+    w_bpr = bpr_fusion_weights(modalities, inter, seed=3)
+    t_bprw = time.time() - t0
+    print(f"device bpr-weight learn:   {t_bprw:.2f} s "
+          f"(10M samples — reference ranking_fusion.py:44 budget)",
+          flush=True)
+    timed_eval("bpr", w_bpr)
+    return t_avg
+
+
+def run_ref(args):
+    rng = np.random.default_rng(0)
+    embeds = make_modalities(rng)
+    likes = make_likes(rng)
+    cand_ids = np.sort(
+        rng.choice(N_ITEMS, size=N_CAND, replace=False)
+    ).astype(np.int64)
+    Vc = [V[cand_ids] for _, V in embeds]
+    w = np.full(F, 1.0 / F, dtype=np.float32)
+
+    chunk = max(1, (1 << 28) // (N_CAND * F * 4))  # ~256MB stacked tensor
+    t0 = time.time()
+    hits = 0
+    for start in range(0, N_USERS, chunk):
+        stop = min(start + chunk, N_USERS)
+        stack = np.empty((stop - start, N_CAND, F), dtype=np.float32)
+        for f, (U, _) in enumerate(embeds):
+            stack[:, :, f] = U[start:stop] @ Vc[f].T
+        fused = stack @ w
+        order = np.argsort(-fused, axis=1)  # full sort, evaluate.py:81
+        top = order[:, :30]
+        for row, u in enumerate(range(start, stop)):
+            lk = likes.get(u)
+            if lk:
+                hits += len(set(top[row].tolist()) & set(lk))
+    dt = time.time() - t0
+    entries = N_USERS * N_CAND * F
+    print(
+        f"reference-style materializing path (chunked {chunk} users, "
+        f"float32, CPU): {dt:.1f} s ({entries / dt / 1e9:.3f}G fused "
+        f"entries/s; hits={hits})",
+        flush=True,
+    )
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=("device", "ref"), default="device")
+    args = ap.parse_args()
+    if args.side == "ref":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        run_ref(args)
+    else:
+        run_device(args)
+
+
+if __name__ == "__main__":
+    main()

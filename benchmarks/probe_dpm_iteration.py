@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--d", type=int, default=20000)
     ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--fit-batch", type=int, default=64,
+                    help="encoder SGD minibatch (64 = reference parity, "
+                    "1024 = fast mode; accuracy_parity.py --models "
+                    "dpm_fast validates the fast mode)")
+    ap.add_argument("--decompose", action="store_true",
+                    help="also time predict / user sweep / item sweep / "
+                    "fie fetch / encoder fit separately")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -49,7 +56,7 @@ def main():
     model = DPM(k=args.k, d=args.d, seed=0)
     model.set_interactions(inter)
     model.set_features(feat)
-    enc = MLPEncoder(args.k, args.d, seed=0)
+    enc = MLPEncoder(args.k, args.d, seed=0, batch_size=args.fit_batch)
     model.encoder = enc
     rated_items, rated_users = model._rated_dev()
 
@@ -76,10 +83,60 @@ def main():
         dpm_iter()
     dt = (time.time() - t0) / args.iters
     print(
-        f"framework DPM (d={args.d}): {dt:.2f} s/iteration "
+        f"framework DPM (d={args.d}, fit_batch={args.fit_batch}): "
+        f"{dt:.2f} s/iteration "
         f"(encoder predict + 2 ALS half-sweeps + encoder fit sweep)",
         flush=True,
     )
+
+    if args.decompose:
+        # piece timings: each piece synced individually (the composed
+        # iteration above is the honest end-to-end number; these
+        # attribute it). Burn one round first.
+        def time_piece(fn, n=3):
+            fn()
+            t0 = time.time()
+            for _ in range(n):
+                fn()
+            return (time.time() - t0) / n
+
+        Fe = enc.predict(model.feat)
+        t_pred = time_piece(lambda: enc.predict(model.feat))
+        fie0 = np.array(Fe, dtype=np.float32, copy=True)
+
+        def user_sweep():
+            out, _ = model._half_sweep(
+                model._user_plan, model.fue, fie0, rated_items,
+                model.a, model.b, model.lu, as_numpy=False,
+            )
+            jnp.sum(out).block_until_ready()
+
+        def item_sweep():
+            out, fit = model._half_sweep(
+                model._item_plan, fie0, model.fue, rated_users,
+                model.a, model.b, model.lv, prior=jnp.asarray(Fe),
+                as_numpy=False,
+            )
+            float(fit)
+
+        t_user = time_piece(user_sweep)
+        t_item = time_piece(item_sweep)
+        fie_dev, _ = model._half_sweep(
+            model._item_plan, fie0, model.fue, rated_users,
+            model.a, model.b, model.lv, prior=jnp.asarray(Fe),
+            as_numpy=False,
+        )
+        t_fetch = time_piece(lambda: np.array(fie_dev))
+        fie_host = np.array(fie_dev)
+        t_fit = time_piece(lambda: enc.fit(model.feat, fie_host))
+        print(
+            f"decompose: predict {t_pred*1e3:.0f} ms | user sweep "
+            f"{t_user*1e3:.0f} ms | item sweep {t_item*1e3:.0f} ms | "
+            f"fie fetch {t_fetch*1e3:.0f} ms | encoder fit "
+            f"{t_fit*1e3:.0f} ms (batch {args.fit_batch}, "
+            f"{-(-feat.shape[0] // args.fit_batch)} scan steps)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -332,3 +332,48 @@ def test_vbpr_full_k_legacy_layout(small_inter):
     np.testing.assert_array_equal(
         np.asarray(model2._params["uce"]), model.fue[:, 6:]
     )
+
+
+def test_bpr_fused_table_layout_matches_separate():
+    """The fused [n_users+n_items, k+1] chunk layout (large-batch auto
+    pick) computes the same math as the separate-table layout: same
+    sampling stream, same per-row aggregation, same RMSProp — embeddings
+    must agree to float tolerance and the user-row bias column must stay
+    exactly zero."""
+    import jax
+
+    from topk_rec_tpu.models.bpr import _train_chunk
+
+    inter = synthetic_interactions(120, 80, 2000, seed=3)
+    hyper = {"lu": 2.5e-3, "li": 2.5e-3, "lj": 2.5e-4, "lb": 1e-4,
+             "lr": 1e-3}
+    outs = []
+    for fused in (False, True):
+        m = BPR(k=8, lambda_b=1e-4, lr=1e-3, seed=0)
+        m.set_interactions(inter)
+        m._init_params(jax.random.PRNGKey(7))
+        s = m.sampler
+        params, ms = m._params, m._ms
+        key = jax.random.PRNGKey(42)
+        for step in range(3):
+            key, sub = jax.random.split(key)
+            params, ms, loss = _train_chunk(
+                params, ms, sub, s.user_rows, s.flat_pos, s.pos_bitmap,
+                hyper, 64, inter.n_items, m.k_candidates, 4, "l2", fused,
+            )
+        outs.append((params, ms, float(loss)))
+    (p0, ms0, l0), (p1, ms1, l1) = outs
+    assert np.isclose(l0, l1, rtol=1e-5)
+    for name in ("ue", "ie", "ib"):
+        np.testing.assert_allclose(
+            np.asarray(p0[name]), np.asarray(p1[name]), rtol=2e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(ms0[name]), np.asarray(ms1[name]), rtol=2e-5,
+            atol=1e-9
+        )
+
+
+def test_bpr_table_layout_validation():
+    with pytest.raises(ValueError):
+        BPR(k=4, table_layout="bogus")

@@ -152,3 +152,30 @@ def test_hybrid_method_matches_exact(server):
     ev, hv = np.asarray(ev), np.asarray(hv)
     finite = np.isfinite(ev) & np.isfinite(hv)
     np.testing.assert_allclose(hv[finite], ev[finite], rtol=2e-2, atol=1e-2)
+
+
+def test_lists_seen_format_matches_bitmap(small_inter):
+    """The sparse seen-list store (seen_format='lists') must serve results
+    identical to the dense bitmap, local and mesh-sharded."""
+    from topk_rec_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    U = rng.normal(size=(small_inter.n_users, 8)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, 8)).astype(np.float32)
+    b = rng.normal(size=small_inter.n_items).astype(np.float32)
+    users = np.array([0, 3, 5, 17, 21, 44, 44, 9])
+    base = TopKServer(U, V, b, small_inter)
+    lists = TopKServer(U, V, b, small_inter, seen_format="lists")
+    for method in ("exact", "pallas"):
+        v0, i0 = base.recommend(users, k=7, method=method)
+        v1, i1 = lists.recommend(users, k=7, method=method)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        np.testing.assert_array_equal(i0, i1)
+    dist = TopKServer(
+        U, V, b, small_inter, mesh=make_mesh(dp=1, mp=8),
+        seen_format="lists",
+    )
+    v2, i2 = dist.recommend(users, k=7)
+    v0, i0 = base.recommend(users, k=7)
+    np.testing.assert_allclose(v0, v2, rtol=1e-6)
+    np.testing.assert_array_equal(i0, i2)

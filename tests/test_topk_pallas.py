@@ -196,3 +196,37 @@ def test_fused_large_k_skips_regroup():
     want_vals, want_idx = _reference(U, V, None, mask, k)
     np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+@pytest.mark.parametrize("n_u,n_i,d,k", [(64, 96, 16, 8), (130, 300, 20, 30)])
+def test_fused_xla_extract_matches_topk(n_u, n_i, d, k):
+    """extract='xla' (candidate buffers selected by lax.top_k on the XLA
+    side) must equal the in-kernel rounds path and lax.top_k."""
+    rng = np.random.default_rng(5)
+    U = rng.normal(size=(n_u, d)).astype(np.float32)
+    V = rng.normal(size=(n_i, d)).astype(np.float32)
+    bias = rng.normal(size=n_i).astype(np.float32)
+    mask = (rng.random((n_u, n_i)) < 0.2).astype(np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(bias), jnp.asarray(mask),
+        k, block_u=32, block_i=128, interpret=True, extract="xla",
+    )
+    want_vals, want_idx = _reference(U, V, bias, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_fused_xla_extract_tie_repair():
+    """Buffer-position tie order differs from item order: the xla-extract
+    path must flag tie rows suspect and repair to lax.top_k order."""
+    n_u, n_i, k = 16, 384, 6
+    U = np.ones((n_u, 2), np.float32)
+    V = np.ones((n_i, 2), np.float32)  # fully tied scores
+    mask = np.zeros((n_u, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
+        k, block_u=8, block_i=128, interpret=True, extract="xla",
+    )
+    want_vals, want_idx = _reference(U, V, None, mask, k)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)

@@ -85,12 +85,42 @@ def _scenario_inputs(data_dir: str, fold: int, scenario: str, uids, iids):
     return cand_ids, likes
 
 
+def _fail(msg: str) -> "SystemExit":
+    """Friendly CLI error: message on stderr, exit code 2, no traceback
+    (the reference CLI is the product surface this replaces; a missing
+    model dir must not dump a read_dat stack)."""
+    return SystemExit(f"error: {msg}")
+
+
+def _read_model_mat(mdir: str, name: str, ids) -> np.ndarray:
+    path = os.path.join(mdir, name)
+    if not os.path.isdir(mdir):
+        raise _fail(
+            f"model directory {mdir!r} does not exist — expected a "
+            f"directory holding final-U.dat / final-V.dat "
+            f"(train + export first)"
+        )
+    if not os.path.exists(path):
+        raise _fail(
+            f"{path!r} not found — the model directory must contain "
+            f"final-U.dat and final-V.dat (optional final-B.dat)"
+        )
+    try:
+        return read_dat(path, ids)
+    except ValueError as e:
+        raise _fail(str(e))
+
+
 def cmd_evaluate(args) -> int:
     inter, uids, iids = _load_fold(args.data, args.fold)
-    umat = read_dat(os.path.join(args.model, "final-U.dat"), uids)
-    vmat = read_dat(os.path.join(args.model, "final-V.dat"), iids)
+    umat = _read_model_mat(args.model, "final-U.dat", uids)
+    vmat = _read_model_mat(args.model, "final-V.dat", iids)
     bpath = os.path.join(args.model, "final-B.dat")
-    bmat = read_dat(bpath, iids) if os.path.exists(bpath) else None
+    bmat = (
+        _read_model_mat(args.model, "final-B.dat", iids)
+        if os.path.exists(bpath)
+        else None
+    )
     ev = DeviceEvaluator(
         inter.seen_bitmap, step=args.step, total=args.total,
         user_chunk=args.user_chunk,
@@ -346,8 +376,8 @@ def cmd_fuse(args) -> int:
     inter, uids, iids = _load_fold(args.data, args.fold)
     embeddings = []
     for mdir in args.models:
-        U = read_dat(os.path.join(mdir, "final-U.dat"), uids)
-        V = read_dat(os.path.join(mdir, "final-V.dat"), iids)
+        U = _read_model_mat(mdir, "final-U.dat", uids)
+        V = _read_model_mat(mdir, "final-V.dat", iids)
         embeddings.append((U, V))
     modalities = ModalityScores(embeddings)
     F = len(embeddings)
@@ -388,11 +418,13 @@ def cmd_fuse(args) -> int:
         weights = error_weights(modalities, inter, tr_cand)
     elif args.strategy == "svm":
         weights = svm_fusion_weights(
-            modalities, inter, n_samples=args.n_samples, seed=args.seed
+            modalities, inter,
+            n_samples=args.n_samples or 100_000, seed=args.seed,
         )
     elif args.strategy == "bpr":
         weights = bpr_fusion_weights(
-            modalities, inter, n_samples=args.n_samples, seed=args.seed
+            modalities, inter,
+            n_samples=args.n_samples or 10_000_000, seed=args.seed,
         )
     else:
         raise SystemExit(f"unknown strategy {args.strategy!r}")
@@ -511,7 +543,9 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--p-sweep", action="store_true",
                     help="rank strategy: evaluate p in {0.1..0.9}, one CSV "
                          "line each (reference pfusion.py:113)")
-    pf.add_argument("--n-samples", type=int, default=100_000)
+    # None -> per-strategy parity default: svm 100k (sfusion-scale), bpr
+    # 10M (ref ranking_fusion.py:44)
+    pf.add_argument("--n-samples", type=int, default=None)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(func=cmd_fuse)
     return p

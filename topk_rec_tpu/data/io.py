@@ -112,7 +112,20 @@ def read_dat(path: str, ids: Optional[Dict[str, int]] = None) -> np.ndarray:
     if n_rows == 0:
         return np.zeros((0, 0), dtype=np.float32)
     n_cols = len(lines[0].split())
-    flat = np.array(content.split(), dtype=np.float32)
+    try:
+        flat = np.array(content.split(), dtype=np.float32)
+    except ValueError as e:
+        raise ValueError(
+            f"{path}: malformed .dat — non-numeric value in the matrix "
+            f"({e})"
+        ) from None
+    if n_cols == 0 or flat.size != n_rows * n_cols:
+        raise ValueError(
+            f"{path}: malformed .dat — expected a rectangular "
+            f"space-separated float matrix ({n_rows} rows x {n_cols} cols "
+            f"from the first row = {n_rows * n_cols} values, found "
+            f"{flat.size})"
+        )
     mat = flat.reshape(n_rows, n_cols)
     if ids is not None and len(ids) != n_rows:
         raise ValueError(

@@ -204,7 +204,7 @@ def svm_fusion_weights(
 def bpr_fusion_weights(
     modalities: ModalityScores,
     inter: Interactions,
-    n_samples: int = 1_000_000,
+    n_samples: int = 10_000_000,
     batch_size: int = 10_000,
     lr: float = 1.0e-4,
     lambda_w: float = 0.0025,
@@ -213,7 +213,10 @@ def bpr_fusion_weights(
     """Pairwise-ranking fusion weights (ref ranking_fusion.py:19-62).
 
     W starts at zero; plain SGD on −Σ log σ(W·(S[u,i,:] − S[u,j,:])) +
-    λw/2·‖W‖², sampled triplets, batches of 10k.
+    λw/2·‖W‖², sampled triplets, batches of 10k. The default sample
+    budget matches the reference's 10M (ranking_fusion.py:44) — at
+    device sampling+gather speed the whole budget is one scan of 1000
+    batches, so there is no reason to diverge from parity.
     """
     sampler = TripletSampler(inter)
     F = modalities.n_feats

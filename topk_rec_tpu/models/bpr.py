@@ -82,6 +82,7 @@ def _chunk_impl(
     mode: str,
     constrain_batch=None,
     constrain_table=None,
+    fused_tables: bool = False,
 ):
     """Run ``n_steps`` sampled BPR/RMSProp steps in one traced program.
 
@@ -100,9 +101,14 @@ def _chunk_impl(
       step) measured 1.89M samples/s vs 2.74M at the batch-256 parity
       config on v5e — the two tables' update chains are independent
       subgraphs that XLA overlaps, and fusing them serializes the
-      critical path. (At batch 8192 the fused layout wins mildly,
-      4.06M vs 3.59M — bandwidth-bound there — but the parity config is
-      the headline.)
+      critical path. At batch 8192 the trade flips (steps go
+      bandwidth-bound and the halved op count wins, 4.06M vs 3.59M
+      measured), so ``fused_tables=True`` selects exactly that layout —
+      one [n_users+n_items, k+1] table, user rows first with a zero,
+      gradient-free bias column — and ``BPR.train`` auto-picks it for
+      large batches (see ``_FUSED_LAYOUT_MIN_BATCH``). Both layouts
+      compute identical math (disjoint row ranges, same per-row
+      aggregation), asserted by tests/test_models.py.
 
     ``constrain_batch`` / ``constrain_table`` are optional sharding hooks:
     a mesh caller (parallel/train_step.py) pins the per-step batch arrays
@@ -145,6 +151,77 @@ def _chunk_impl(
     u_steps = constrain_batch(u_all.reshape(n_steps, batch_size))
     i_steps = constrain_batch(i_all.reshape(n_steps, batch_size))
     j_steps = constrain_batch(j_all.reshape(n_steps, batch_size))
+
+    if fused_tables:
+        n_users = params["ue"].shape[0]
+        # one [n_users+n_items, k+1] table: user rows first. The user
+        # rows' bias column is never read by the forward pass, so its
+        # gradient is identically zero and RMSProp keeps it at exactly 0
+        # (0.9*acc + 0.1*0 = 0 for a zero-initialized accumulator, and a
+        # zero step) — numerics match the separate-table layout.
+        all_steps = jnp.concatenate(
+            [u_steps, i_steps + n_users, j_steps + n_users], axis=1
+        )
+        uniq_a, seg_a = plan_sparse_updates(all_steps)
+        tbl = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [params["ue"],
+                     jnp.zeros((n_users, 1), params["ue"].dtype)], axis=1
+                ),
+                jnp.concatenate(
+                    [params["ie"], params["ib"][:, None]], axis=1
+                ),
+            ],
+            axis=0,
+        )
+        mtbl = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [ms["ue"], jnp.zeros((n_users, 1), ms["ue"].dtype)],
+                    axis=1,
+                ),
+                jnp.concatenate([ms["ie"], ms["ib"][:, None]], axis=1),
+            ],
+            axis=0,
+        )
+
+        def fused_step(carry, xs):
+            tbl, mtbl = carry
+            uq, sg = xs
+            rows, acc = planned_rows(tbl, mtbl, uq)
+            b = batch_size
+            pu = rows[sg[:b]][:, :k]
+            pit = rows[sg[b : 2 * b]]
+            pjt = rows[sg[2 * b :]]
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                pu, pit, pjt
+            )
+            gu = jnp.concatenate(
+                [grads[0], jnp.zeros((b, 1), grads[0].dtype)], axis=1
+            )
+            g_all = jnp.concatenate([gu, grads[1], grads[2]], axis=0)
+            agg = jax.ops.segment_sum(g_all, sg, num_segments=uq.shape[0])
+            tbl, mtbl = apply_planned_rmsprop(
+                tbl, mtbl, uq, rows, acc, agg, lr
+            )
+            return (constrain_table(tbl), mtbl), loss
+
+        (tbl, mtbl), losses = jax.lax.scan(
+            fused_step, (tbl, mtbl), (uniq_a, seg_a)
+        )
+        params = {
+            "ue": tbl[:n_users, :k],
+            "ie": tbl[n_users:, :k],
+            "ib": tbl[n_users:, k],
+        }
+        ms = {
+            "ue": mtbl[:n_users, :k],
+            "ie": mtbl[n_users:, :k],
+            "ib": mtbl[n_users:, k],
+        }
+        return params, ms, jnp.sum(losses)
+
     uniq_u, seg_u = plan_sparse_updates(u_steps)
     uniq_ij, seg_ij = plan_sparse_updates(
         jnp.concatenate([i_steps, j_steps], axis=1)
@@ -202,6 +279,7 @@ def _chunk_impl(
         "k_candidates",
         "n_steps",
         "mode",
+        "fused_tables",
     ),
     donate_argnums=(0, 1),
 )
@@ -218,12 +296,23 @@ def _train_chunk(
     k_candidates: int,
     n_steps: int,
     mode: str,
+    fused_tables: bool = False,
 ):
     """Single-device compiled chunk (see ``_chunk_impl``)."""
     return _chunk_impl(
         params, ms, key, user_rows, flat_pos, pos_bitmap, hyper,
         batch_size, n_items, k_candidates, n_steps, mode,
+        fused_tables=fused_tables,
     )
+
+
+# Batch size at or above which BPR.train's "auto" layout switches to the
+# fused [n_users+n_items, k+1] table. At batch 256 the separate tables
+# win 2.74M vs 1.89M samples/s (latency-bound: XLA overlaps the two
+# independent update chains); at batch 8192 the fused table wins 4.06M
+# vs 3.59M (bandwidth-bound: halved gather/scatter count) — both v5e
+# A-B-A measurements, BASELINE.md training-step anatomy.
+_FUSED_LAYOUT_MIN_BATCH = 2048
 
 
 class BPR(Recommender):
@@ -245,6 +334,7 @@ class BPR(Recommender):
         mode: str = "l2",
         seed: int = 0,
         k_candidates: int = 2,
+        table_layout: str = "auto",
     ):
         super().__init__(k)
         self.lu = lambda_u
@@ -255,6 +345,13 @@ class BPR(Recommender):
         self.mode = mode
         self.seed = seed
         self.k_candidates = k_candidates
+        if table_layout not in ("auto", "separate", "fused"):
+            raise ValueError(
+                f"table_layout must be auto|separate|fused, got {table_layout!r}"
+            )
+        # 'auto' picks the measured winner per batch size (see
+        # _FUSED_LAYOUT_MIN_BATCH); 'separate'/'fused' pin it.
+        self.table_layout = table_layout
         self.sampler: Optional[TripletSampler] = None
         self._params = None
         self._ms = None
@@ -377,6 +474,10 @@ class BPR(Recommender):
         # batches (the reference's batch_limit already has a +1 fudge,
         # bpr.py:113).
         n_chunks = max(1, -(-batch_limit // scan_steps))
+        fused_tables = self.table_layout == "fused" or (
+            self.table_layout == "auto"
+            and batch_size >= _FUSED_LAYOUT_MIN_BATCH
+        )
         for eid in range(start_epoch, epochs):
             t0 = time.time()
             chunk_losses = []
@@ -399,6 +500,7 @@ class BPR(Recommender):
                     self.k_candidates,
                     n_steps,
                     self.mode,
+                    fused_tables,
                 )
                 # keep the loss on device: a host sync per chunk costs a
                 # full round trip through the remote-device tunnel

@@ -58,7 +58,26 @@ class DPM(WMF):
         pretrain: bool = True,
         save_lag: Optional[int] = None,
         save_dir: Optional[str] = None,
+        fit_batch: Optional[int] = None,
     ) -> None:
+        """Alternating ALS / encoder-SGD training (reference dpm.py:20-64).
+
+        ``fit_batch`` overrides the encoder's SGD minibatch size for the
+        per-iteration fit sweep. The reference uses 64 (mlp.py:34), which
+        makes the fit ~162 sequential scan steps per iteration at
+        MovieLens scale — the dominant share of the DPM iteration
+        (benchmarks/probe_dpm_iteration.py --decompose). ``fit_batch=1024``
+        is the measured fast mode (~10 steps/sweep); its accuracy trade
+        vs the batch-64 reference alternation, measured over 3 seeds
+        through the untouched reference CLI (accuracy_parity.py --models
+        dpm_fast, 2026-08-21): in-matrix acc@30 0.1086±0.0009 vs ref
+        0.1122±0.0013 (~3% relative BELOW), cold-start om acc@30
+        0.4559±0.0015 vs 0.4392±0.0053 (~4% ABOVE — fewer encoder steps
+        per iteration keep item latents closer to the content prior).
+        Default None keeps the encoder's own (reference-parity batch-64)
+        setting; pick the fast mode when iteration latency matters more
+        than the last in-matrix percent.
+        """
         from ..utils.statelog import StateLog
 
         assert self.inter is not None and self.feat is not None
@@ -69,6 +88,8 @@ class DPM(WMF):
                 self.encoder = encoder(self.k, self.d)
         else:
             self.encoder = encoder
+        if fit_batch is not None:
+            self.encoder.batch_size = int(fit_batch)
         if model_path is not None and os.path.isdir(model_path):
             self.import_embeddings(model_path)
         slog = StateLog(

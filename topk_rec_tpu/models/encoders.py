@@ -25,7 +25,16 @@ import numpy as np
 
 
 class Encoder(ABC):
-    """Interface: ``predict``, ``fit`` (one SGD sweep), ``pretrain``."""
+    """Interface: ``predict``, ``fit`` (one SGD sweep), ``pretrain``.
+
+    CONTRACT: implementations may cache a device-resident copy of the
+    feature matrix ``X`` keyed on object identity (MLPEncoder does — the
+    re-upload it avoids costs ~800MB/iteration at the reference d=20000
+    scale), so callers must treat ``X`` as immutable between calls: to
+    change features, pass a NEW array object, never mutate in place.
+    MLPEncoder additionally spot-checks a strided sample of the cached
+    array and fails loudly on detected in-place mutation.
+    """
 
     @abstractmethod
     def predict(self, X: np.ndarray) -> np.ndarray: ...
@@ -174,9 +183,11 @@ class MLPEncoder(Encoder):
         identity: DPM passes the SAME ``self.feat`` array to ``predict``
         and ``fit`` every iteration, and re-uploading it each call costs
         ~800MB of host->device traffic per iteration at the reference
-        d=20000 scale. The cache treats X as immutable (callers never
-        mutate features in this codebase; pass a fresh array otherwise).
-        jax arrays pass through untouched."""
+        d=20000 scale. The cache treats X as immutable — the documented
+        Encoder contract (pass a fresh array to change features); a
+        strided 16-element spot sample is checked on every hit so
+        in-place mutation fails loudly instead of silently computing
+        against stale device data. jax arrays pass through untouched."""
         if isinstance(X, jax.Array):
             return X
         key = (id(X), X.shape)
@@ -187,7 +198,23 @@ class MLPEncoder(Encoder):
             # freshly-allocated same-shape array could reuse the freed
             # address and silently hit the stale cache
             self._x_cache_src = X
+            flat = X.reshape(-1)
+            self._x_probe_idx = np.linspace(
+                0, flat.shape[0] - 1, num=min(16, flat.shape[0]), dtype=np.int64
+            )
+            self._x_probe = np.array(flat[self._x_probe_idx])
             self._x_cache = jnp.asarray(X, dtype=jnp.float32)
+        else:
+            sample = X.reshape(-1)[self._x_probe_idx]
+            if not np.array_equal(
+                sample, self._x_probe, equal_nan=True
+            ):
+                raise ValueError(
+                    "Encoder feature matrix was mutated in place after "
+                    "being cached on device — the Encoder contract "
+                    "requires passing a NEW array to change features "
+                    "(see Encoder docstring)"
+                )
         return self._x_cache
 
     def drop_feature_cache(self) -> None:

@@ -82,7 +82,16 @@ def _count_kernel(
     # Elements within ±eps of t count as ties — divergence would need to
     # exceed eps (orders of magnitude above reorder noise) to escape both
     # classes, and extra near-threshold repairs are merely conservative.
-    eps = 1e-4 * jnp.abs(t) + 1e-6
+    # eps scales with max(|t|, |s|) per ELEMENT (not |t| alone): reorder
+    # noise follows the element's own magnitude, and a large score
+    # landing near a small threshold must still be margin-classified
+    # (ADVICE r3). Residual caveat: noise really scales with Σ|u_d·v_d|,
+    # so a score that is small only through cancellation of large terms
+    # carries more noise than eps models — bounding that exactly would
+    # need a second |U|·|V|ᵀ matmul; with exact_matmul=True (the eval
+    # default) the kernel and rescore agree to the last bit and the
+    # margin is moot.
+    eps = 1e-4 * jnp.maximum(jnp.abs(t), jnp.abs(scores)) + 1e-6
     gt = jnp.sum((scores > t + eps).astype(jnp.int32), axis=1, keepdims=True)
     eq = jnp.sum(
         (jnp.abs(scores - t) <= eps).astype(jnp.int32), axis=1, keepdims=True
@@ -187,10 +196,12 @@ def _hybrid_call(
     cnt_gt, cnt_eq = _count_vs_threshold(
         U, V, bias_row, mask, t, block_u, block_i, interpret, exact_matmul
     )
-    # same ±eps classification as the count kernel (see _count_kernel)
-    eps = 1e-4 * jnp.abs(t) + 1e-6
+    # same ±eps classification as the count kernel (see _count_kernel):
+    # elementwise max(|t|, |val|) scaling keeps both sides of the audit
+    # consistent
+    eps = 1e-4 * jnp.maximum(jnp.abs(t)[:, None], jnp.abs(vals)) + 1e-6
     g_have = jnp.sum(
-        (vals > (t + eps)[:, None]).astype(jnp.int32), axis=1
+        (vals > t[:, None] + eps).astype(jnp.int32), axis=1
     )
     bad = (cnt_gt != g_have) | (cnt_eq != k - g_have)
     # user-padding rows are all-masked and would trip the tie audit;

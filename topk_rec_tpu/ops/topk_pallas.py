@@ -108,7 +108,7 @@ _REGROUP_MAX_K = 48
 def _kernel(
     u_ref, v_ref, b_ref, m_ref, out_v_ref, out_i_ref, out_trig_ref,
     cand_v, cand_i, run_m4,
-    *, k: int, exact_matmul: bool,
+    *, k: int, exact_matmul: bool, emit_buffers: bool = False,
 ):
     j = pl.program_id(1)
 
@@ -226,6 +226,18 @@ def _kernel(
             comb_v0 = cand_v[:]
             comb_i = cand_i[:]
             trig = run_m4[:]
+
+        if emit_buffers:
+            # extraction-offload variant: ship the (regrouped) candidate
+            # buffers to HBM and let XLA's lax.top_k do the selection —
+            # the in-kernel rounds are reduction-latency-bound
+            # (~0.24 ms/round regardless of width), so for larger k the
+            # one-shot XLA sort over the narrow buffer can win. Tie
+            # semantics are repaired on the XLA side (see _fused_call).
+            out_v_ref[:] = comb_v0[:, : out_v_ref.shape[1]]
+            out_i_ref[:] = comb_i[:, : out_i_ref.shape[1]]
+            out_trig_ref[:] = trig
+            return
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _RUN_LANES), 1)
         int_max = jnp.int32(2**31 - 1)
 
@@ -262,18 +274,26 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block_u", "block_i", "interpret", "exact_matmul", "suspect_cap"
+        "k", "block_u", "block_i", "interpret", "exact_matmul",
+        "suspect_cap", "extract",
     ),
 )
 def _fused_call(
     U, V, bias, mask, k, block_u, block_i, interpret, exact_matmul,
-    suspect_cap=None,
+    suspect_cap=None, extract="kernel",
 ):
     n_u, d = U.shape
     n_i = V.shape[0]
     grid = (n_u // block_u, n_i // block_i)
+    W = 3 * _CHUNK * grid[1]
+    regrouped = k <= _REGROUP_MAX_K and W // _CHUNK > _REGROUP_DEPTH
+    emit = extract == "xla"
+    out_w = (min(W, _REGROUP_DEPTH * _CHUNK) if regrouped else W) if emit \
+        else _RUN_LANES
     out_v, out_i, out_trig = pl.pallas_call(
-        functools.partial(_kernel, k=k, exact_matmul=exact_matmul),
+        functools.partial(
+            _kernel, k=k, exact_matmul=exact_matmul, emit_buffers=emit
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_u, d), lambda i, j: (i, 0),
@@ -286,22 +306,22 @@ def _fused_call(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block_u, _RUN_LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((block_u, out_w), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_u, _RUN_LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((block_u, out_w), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_u, _RUN_LANES), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_u, _RUN_LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_u, _RUN_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_u, out_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_u, out_w), jnp.int32),
             jax.ShapeDtypeStruct((n_u, _RUN_LANES), jnp.float32),
         ),
         scratch_shapes=[
             # merged candidate buffer: per-group top-3 from every item tile
-            pltpu.VMEM((block_u, 3 * _CHUNK * grid[1]), jnp.float32),
-            pltpu.VMEM((block_u, 3 * _CHUNK * grid[1]), jnp.int32),
+            pltpu.VMEM((block_u, W), jnp.float32),
+            pltpu.VMEM((block_u, W), jnp.int32),
             pltpu.VMEM((block_u, _RUN_LANES), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -312,8 +332,27 @@ def _fused_call(
         interpret=interpret,
     )(U, V, bias, mask)
 
-    vals = out_v[:, :k]
-    idx = out_i[:, :k]
+    if emit:
+        # XLA-side selection over the narrow candidate buffer. top_k ties
+        # break by BUFFER position here, not by item index — any tie
+        # inside the top-(k+1) window could therefore order differently
+        # from lax.top_k over the full matrix, so tie-touching rows join
+        # the suspect set and are re-ranked exactly (ties are rare for
+        # continuous scores; tie-heavy batches hit the full fallback,
+        # same as the kernel-extraction path).
+        kw = min(k + 1, out_w)
+        tv, pos = jax.lax.top_k(out_v, kw)
+        ti = jnp.take_along_axis(out_i, pos, axis=1)
+        tie_any = jnp.any(tv[:, 1:] == tv[:, :-1], axis=1)
+        vals = tv[:, :k]
+        idx = ti[:, :k]
+        out_trig = jnp.maximum(
+            out_trig,
+            jnp.where(tie_any, jnp.inf, -jnp.inf)[:, None],
+        )
+    else:
+        vals = out_v[:, :k]
+        idx = out_i[:, :k]
     precision = (
         jax.lax.Precision.HIGHEST if exact_matmul else jax.lax.Precision.DEFAULT
     )
@@ -369,6 +408,7 @@ def fused_score_topk(
     interpret: Optional[bool] = None,
     exact_matmul: bool = True,
     suspect_cap: Optional[int] = None,
+    extract: str = "kernel",
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k (values, indices) of masked U·Vᵀ + bias, fused in one kernel.
 
@@ -383,6 +423,12 @@ def fused_score_topk(
       suspect_cap: bounded-re-rank row capacity (default n_users/64);
         widen for batches with many ties or near-empty candidate rows to
         avoid the whole-batch fallback (exactness holds either way).
+      extract: "kernel" (default) runs the k max-extraction rounds inside
+        the kernel; "xla" emits the (regrouped) candidate buffers and
+        selects with lax.top_k on the XLA side — ties then join the
+        suspect set (see _fused_call). Results are identical; the rounds
+        are reduction-latency-bound (~0.24 ms/round), so "xla" can win
+        at larger k.
 
     Inputs are padded internally to tile multiples; indices returned are
     into the unpadded candidate axis. Excluded/overflow positions come back
@@ -413,7 +459,7 @@ def fused_score_topk(
                 U, V[start:stop],
                 None if bias is None else bias.reshape(-1)[start:stop],
                 mask[:, start:stop], k, block_u, block_i, interpret,
-                exact_matmul, suspect_cap,
+                exact_matmul, suspect_cap, extract,
             )
             vs.append(sv)
             is_.append(si + start)
@@ -436,7 +482,7 @@ def fused_score_topk(
     )
     vals, idx = _fused_call(
         U_p, V_p, b, mask_p, k, block_u, block_i, interpret, exact_matmul,
-        suspect_cap,
+        suspect_cap, extract,
     )
     return vals[:n_u], idx[:n_u]
 

@@ -52,6 +52,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # jax.distributed.initialize ordering in multi-process workers)
 _SENTINEL = 2**31 - 1
 
+# jitted-exchange memo: sharded_lookup/sharded_update are function-level
+# APIs called per query/step (TopKServer.recommend_async calls lookup
+# twice per batch), and a fresh ``jax.jit(shard_map(partial(...)))``
+# object per call would RETRACE every time (measured ~2 s/call on the
+# two-process CPU mesh vs ~50 ms once cached). Keyed on everything that
+# shapes the program; Mesh is hashable.
+_JIT_CACHE = {}
+
+
+def _cached_jit(kind, body_fn, mesh, in_specs, out_specs, **static):
+    key = (kind, mesh, in_specs, out_specs, tuple(sorted(static.items())))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            jax.shard_map(
+                partial(body_fn, **static),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+            )
+        )
+        _JIT_CACHE[key] = fn
+    return fn
+
 
 def _dedup_sorted(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Sorted uniques (sentinel-padded) + occurrence→slot segment map."""
@@ -171,24 +195,17 @@ def sharded_lookup(
         capacity = 2 * (-(-(b_total // n_shards) // n_shards))
     rows_per_shard = n_rows // n_shards
     # other mesh axes are unused: keep table/idx replicated across them
-    body = partial(
-        _exchange,
-        axis=axis,
-        n_shards=n_shards,
-        rows_per_shard=rows_per_shard,
+    fn = _cached_jit(
+        "lookup", _exchange, mesh,
+        (P(axis, None), P(axis)), (P(axis, None), P(axis)),
+        axis=axis, n_shards=n_shards, rows_per_shard=rows_per_shard,
         capacity=capacity,
-    )
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis)),
     )
     table_d = jax.device_put(table, NamedSharding(mesh, P(axis, None)))
     idx_d = jax.device_put(
         jnp.asarray(idx, jnp.int32), NamedSharding(mesh, P(axis))
     )
-    rows, overflow = jax.jit(fn)(table_d, idx_d)
+    rows, overflow = fn(table_d, idx_d)
     return rows, overflow
 
 
@@ -260,7 +277,14 @@ def _exchange_rmsprop(table_local, acc_local, idx_local, grads_local, axis,
     update per globally-touched row on the globally-summed gradient —
     TF IndexedSlices semantics, identical to the GSPMD chunk's planned
     update in ops/sparse_update.py, so explicit-exchange training matches
-    the GSPMD path's numerics)."""
+    the GSPMD path's numerics).
+
+    Note: rows whose summed gradient is all-zero (e.g. every touching
+    triplet was capacity-voided upstream) still receive the apply — a
+    0.9x accumulator decay with a zero param step. Exact
+    dropped-example parity would need a per-row nonzero check on the
+    scan's hot path; the divergence is accumulator-only and occurs only
+    on overflow batches (see train_step.py explicit-step comment)."""
     from ..ops.sparse_update import apply_planned_rmsprop, planned_rows
 
     k = table_local.shape[1]
@@ -316,18 +340,11 @@ def sharded_update(
     if capacity <= 0:
         capacity = 2 * (-(-(b_total // n_shards) // n_shards))
     rows_per_shard = n_rows // n_shards
-    body = partial(
-        _exchange_scatter,
-        axis=axis,
-        n_shards=n_shards,
-        rows_per_shard=rows_per_shard,
+    fn = _cached_jit(
+        "update", _exchange_scatter, mesh,
+        (P(axis, None), P(axis), P(axis, None)), (P(axis, None), P(axis)),
+        axis=axis, n_shards=n_shards, rows_per_shard=rows_per_shard,
         capacity=capacity,
-    )
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None)),
-        out_specs=(P(axis, None), P(axis)),
     )
     table_d = jax.device_put(table, NamedSharding(mesh, P(axis, None)))
     idx_d = jax.device_put(
@@ -336,5 +353,5 @@ def sharded_update(
     rows_d = jax.device_put(
         jnp.asarray(rows), NamedSharding(mesh, P(axis, None))
     )
-    new_table, overflow = jax.jit(fn)(table_d, idx_d, rows_d)
+    new_table, overflow = fn(table_d, idx_d, rows_d)
     return new_table, overflow

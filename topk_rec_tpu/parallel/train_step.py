@@ -211,9 +211,16 @@ class DistributedBPRTrainer(_DistributedPairwiseTrainer):
                 )
                 # a triplet whose u, i, OR j lookup overflowed carries a
                 # zero stand-in row; weight 0 voids its entire loss and
-                # gradient so the overflow behaves exactly like dropping
-                # the example (a dropped-i triplet must not push a
-                # garbage bias gradient into its real j row)
+                # gradient so the overflow behaves like dropping the
+                # example (a dropped-i triplet must not push a garbage
+                # bias gradient into its real j row). One nuance vs a
+                # truly removed example (ADVICE r3): the voided indices
+                # still route through _exchange_rmsprop, so a row touched
+                # ONLY by voided triplets sees an RMSProp apply with g=0
+                # — its second-moment accumulator decays by 0.9 and its
+                # params move 0. Param trajectories are identical; only
+                # the accumulator differs, and only on overflow batches
+                # (normally none — overflow retries resize capacity).
                 w = (vu & vi & vj).astype(jnp.float32)
                 loss, grads = jax.value_and_grad(
                     _pairwise_loss, argnums=(0, 1, 2)

@@ -27,19 +27,32 @@ import numpy as np
 from .data.dataset import Interactions
 
 
-@partial(jax.jit, static_argnames=("k", "method", "n_items"))
+@partial(jax.jit, static_argnames=("k", "method", "n_items", "seen_format"))
 def _query(
     user_emb: jax.Array,     # [B, dim] gathered user rows
     V: jax.Array,            # [n_items, dim]
     bias: Optional[jax.Array],
-    seen_words: jax.Array,   # [B, n_words] uint32
+    seen_rows: jax.Array,    # bitmap: [B, n_words] uint32; lists: [B, D] i32
     k: int,
     method: str,
     n_items: int,
+    seen_format: str = "bitmap",
 ):
-    from .ops.topk_pallas import expand_seen_mask
+    if seen_format == "lists":
+        # sparse seen-sets: scatter each user's padded sorted item list
+        # into a query-batch-sized dense mask (pad slot = n_items lands in
+        # the throwaway column). The [B, n_items] mask is transient — only
+        # the per-USER store changes representation.
+        b = seen_rows.shape[0]
+        mask = (
+            jnp.zeros((b, n_items + 1), jnp.int8)
+            .at[jnp.arange(b)[:, None], seen_rows]
+            .set(1)[:, :n_items]
+        )
+    else:
+        from .ops.topk_pallas import expand_seen_mask
 
-    mask = expand_seen_mask(seen_words, n_items)
+        mask = expand_seen_mask(seen_rows, n_items)
     if method == "pallas":
         from .ops.topk_pallas import NEG_INF, fused_score_topk
 
@@ -77,7 +90,22 @@ class TopKServer:
         interactions: Optional[Interactions] = None,
         exclude_seen: bool = True,
         mesh=None,
+        seen_format: str = "bitmap",
     ):
+        """``seen_format`` picks the per-user seen-set store:
+
+        * ``"bitmap"`` (default): dense uint32 bitmap,
+          n_users x n_items/8 bytes — ~91 MB at MovieLens scale, the
+          right choice while catalog x users fits HBM (envelope: 1M users
+          x 100K items = 12.5 GB/chip undistributed; row-sharding over
+          ``mesh`` divides it by the shard count).
+        * ``"lists"``: padded sorted per-user item lists,
+          n_users x max_degree x 4 bytes — wins when 32 x max_degree <
+          n_items (e.g. 10M users x 1M items at max 512 seen: 20 GB vs
+          the bitmap's 1.25 TB). Queries scatter each batch row's list
+          into a transient [batch, n_items] mask; results are identical
+          (tests/test_serving.py).
+        """
         self.U = jnp.asarray(U, dtype=jnp.float32)
         self.V = jnp.asarray(V, dtype=jnp.float32)
         self.bias = (
@@ -86,17 +114,32 @@ class TopKServer:
             else None
         )
         self.n_items = self.V.shape[0]
+        assert seen_format in ("bitmap", "lists"), seen_format
+        self.seen_format = seen_format
         n_words = (self.n_items + 31) // 32
         if exclude_seen and interactions is not None:
-            self.seen = jnp.asarray(interactions.seen_bitmap)
+            if seen_format == "lists":
+                indptr, flat = interactions.user_csr
+                deg = np.diff(indptr)
+                D = max(1, int(deg.max()))
+                lists = np.full(
+                    (self.U.shape[0], D), self.n_items, np.int32
+                )
+                for u in range(len(deg)):
+                    lists[u, : deg[u]] = flat[indptr[u] : indptr[u + 1]]
+                self.seen = jnp.asarray(lists)
+            else:
+                self.seen = jnp.asarray(interactions.seen_bitmap)
+        elif seen_format == "lists":
+            self.seen = jnp.full((self.U.shape[0], 1), self.n_items, jnp.int32)
         else:
             self.seen = jnp.zeros((self.U.shape[0], n_words), jnp.uint32)
         # distributed serving: the user table (the big one — 69878 rows at
-        # MovieLens scale, millions in production) and its seen bitmap live
-        # row-sharded across the mesh; per-query user rows are fetched via
-        # the explicit deduplicated all-to-all exchange (parallel/lookup.py)
-        # while the item table replicates (it is small and every shard
-        # scores against all items).
+        # MovieLens scale, millions in production) and its per-user seen
+        # store (either format) live row-sharded across the mesh; per-query
+        # user rows are fetched via the explicit deduplicated all-to-all
+        # exchange (parallel/lookup.py) while the item table replicates
+        # (it is small and every shard scores against all items).
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -186,7 +229,8 @@ class TopKServer:
                 self.seen, uid_p, self.mesh, capacity=cap
             )
             vals, idx = _query(
-                u_rows, self.V, self.bias, s_rows, k, method, self.n_items
+                u_rows, self.V, self.bias, s_rows, k, method, self.n_items,
+                self.seen_format,
             )
             overflowed = (jnp.sum(ovf_u) + jnp.sum(ovf_s)) > 0
             vals = jnp.where(overflowed, jnp.nan, vals)
@@ -200,4 +244,5 @@ class TopKServer:
             k,
             method,
             self.n_items,
+            self.seen_format,
         )
