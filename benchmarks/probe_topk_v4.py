@@ -48,20 +48,21 @@ def main():
         assert np.isfinite(acc)
         return dt * 1e3
 
-    def make(kk, extract):
+    def make(kk, extract, block_u=256):
         @jax.jit
         def run(U, V, b, mask):
             v, i = fused_score_topk(
-                U, V, b, mask, kk, exact_matmul=False, extract=extract
+                U, V, b, mask, kk, exact_matmul=False, extract=extract,
+                block_u=block_u,
             )
             return jnp.sum(v) + jnp.sum(i)
         return run
 
-    for kk in (1, 8, 30):
-        print(f"kernel k={kk:3d}  {timeit(make(kk, 'kernel')):7.2f} ms",
-              flush=True)
-    t_x = timeit(make(30, "xla"))
-    print(f"xla    k= 30  {t_x:7.2f} ms", flush=True)
+    # xla-extract emits [block_u, 512] output buffers on top of the
+    # candidate scratch — block_u=256 is 180KB over the 16MB scoped-VMEM
+    # budget, so it runs at 192
+    t_x = timeit(make(30, "xla", block_u=192))
+    print(f"xla    k= 30  {t_x:7.2f} ms (block_u=192)", flush=True)
     t_k = timeit(make(30, "kernel"))
     print(f"kernel k= 30  {t_k:7.2f} ms (A-B-A)", flush=True)
     pairs = n_u * n_items

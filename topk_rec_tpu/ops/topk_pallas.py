@@ -49,9 +49,14 @@ included, via the ≥ trigger).
 
 Measured on v5e at 69878x10380xd50, k=30 (bf16 matmul): v1 ~95 ms
 (VPU-bound full-width rounds), v2 38.5-53 ms (per-tile extraction +
-depth-2 trigger), v3 25.4-25.6 ms steady-state = 28.5G scored pairs/s
-(burned-first-block timing, BASELINE.md) — with the score matrix never
-touching HBM at any version.
+depth-2 trigger), v3 25.4-25.6 ms, v4 20.2-20.4 ms steady-state =
+35.5-35.9G scored pairs/s (burned-first-block timing, BASELINE.md) —
+with the score matrix never touching HBM at any version. v4
+decomposition: ~12.5-13 ms floor (matmul + mask + cascade + regroup) +
+~0.24 ms per extraction round; the rounds are cross-lane-reduction
+bound, and the measured alternative of emitting the candidate buffers
+for an XLA-side lax.top_k (``extract="xla"``) loses 3x at k=30
+(BASELINE.md scoring section).
 
 Grid: (user_tiles, item_tiles), item axis minor; the running buffers live
 in VMEM scratch and persist across the item-tile sweep (TPU grids execute
