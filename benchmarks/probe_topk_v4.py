@@ -65,6 +65,20 @@ def main():
     print(f"xla    k= 30  {t_x:7.2f} ms (block_u=192)", flush=True)
     t_k = timeit(make(30, "kernel"))
     print(f"kernel k= 30  {t_k:7.2f} ms (A-B-A)", flush=True)
+
+    # the hardware's approximate selector, same shape/session — the
+    # exact-vs-approx comparison is only meaningful within one window
+    @jax.jit
+    def run_approx(U, V, b, mask):
+        scores = jnp.dot(
+            U, V.T, preferred_element_type=jnp.float32,
+        ) + b[None, :]
+        scores = jnp.where(mask != 0, -jnp.inf, scores)
+        v, i = jax.lax.approx_max_k(scores, 30)
+        return jnp.sum(v) + jnp.sum(i)
+
+    t_a = timeit(run_approx)
+    print(f"approx_max_k  {t_a:7.2f} ms (recall~0.95, inexact)", flush=True)
     pairs = n_u * n_items
     best = min(t_x, t_k)
     print(f"best: {best:.2f} ms = {pairs / best / 1e6:,.1f}M pairs/ms "
