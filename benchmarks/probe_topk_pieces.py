@@ -112,8 +112,52 @@ def main():
             v, i = fused_score_topk(U, V, b, mask, kk, exact_matmul=False)
             return jnp.sum(v) + jnp.sum(i)
 
-        print(f"pallas_v2 k={kk:3d}     {timeit(run, U, V, b, mask):8.2f} ms",
+        print(f"pallas k={kk:3d}       {timeit(run, U, V, b, mask):8.2f} ms",
               flush=True)
+
+    print_cycle_budget(n_u, n_items)
+
+
+def print_cycle_budget(n_u=69878, n_items=10380, clock_ghz=0.94):
+    """Closed-form VPU budget for the v4 kernel's two cost centers.
+
+    Assumes one (8,128) vector op per cycle per issue slot (the
+    conservative single-issue model; the measured rates below land
+    between 1x and 2x of it, bracketing the real issue width).
+
+    Stats cascade (v4): each masked score element passes once through a
+    running top-3+m4 compare/select cascade — cmp+max+min+2 sel (L1),
+    same (L2), cmp+max+min+sel (L3), max (L4) = 15 ops — plus bias add,
+    mask cmp+select (3), i.e. ~18 vector-lane ops per element.
+
+    Extraction rounds: per round, two cross-lane reductions over the
+    regrouped [tu, 512] buffer (max; min-index among ties) plus ~5
+    elementwise passes. A 128-lane tree reduce on [256, 512] is ~96
+    pairwise vreg maxes + 7x32 shuffle-reduce steps ~ 320 vector ops;
+    two of those per round across the 273-user-tile grid predicts
+    ~0.18 ms/round at single issue — the measured 0.24 ms/round
+    (probe_topk_v4.py) is 1.3x that, i.e. the rounds run at ~75% of the
+    single-issue reduction floor and there is no order-of-magnitude
+    left in them without abandoning exact ordered extraction.
+    """
+    lanes_per_cycle = 8 * 128
+    elems = n_u * n_items
+    stats_ops = 18 * elems
+    stats_ms = stats_ops / lanes_per_cycle / (clock_ghz * 1e9) * 1e3
+    tiles = -(-n_u // 256)
+    round_ops_per_tile = 2 * 320 + 5 * (256 * 512) / lanes_per_cycle
+    round_ms = tiles * round_ops_per_tile / (clock_ghz * 1e9) * 1e3
+    print(
+        f"cycle budget (single-issue VPU model, {clock_ghz} GHz):\n"
+        f"  stats cascade ~{stats_ops/1e9:.1f}G lane-ops "
+        f"-> {stats_ms:.1f} ms lower bound at 1 op/cycle "
+        f"(measured k=1 floor 12.5-13 ms incl. ~1 ms matmul + mask read "
+        f"-> cascade runs at ~its single-issue bound)\n"
+        f"  extraction round ~{round_ops_per_tile:.0f} vector ops/tile "
+        f"x {tiles} tiles -> {round_ms:.2f} ms/round predicted vs "
+        f"0.24 ms measured",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

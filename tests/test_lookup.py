@@ -211,3 +211,27 @@ def test_explicit_trainer_overflow_stays_sane(small_inter):
     tr.sync_to_model()
     for name in ("ue", "ie", "ib"):
         assert np.isfinite(np.asarray(model._params[name])).all()
+
+
+def test_sharded_lookup_jit_memo():
+    """Repeated lookups with the same (mesh, shape) config must reuse one
+    compiled program — a fresh jit(shard_map) per call re-traced every
+    query (~2 s each, found by the Gloo throughput bench, round 4)."""
+    import numpy as np
+
+    from topk_rec_tpu.parallel import make_mesh
+    from topk_rec_tpu.parallel import lookup as lk
+
+    mesh = make_mesh(dp=1, mp=8)
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(32, 4)).astype(np.float32)
+    idx = rng.integers(0, 32, size=16).astype(np.int32)
+    lk._JIT_CACHE.clear()
+    rows1, _ = lk.sharded_lookup(table, idx, mesh)
+    n_after_first = len(lk._JIT_CACHE)
+    rows2, _ = lk.sharded_lookup(table, idx, mesh)
+    assert len(lk._JIT_CACHE) == n_after_first == 1
+    np.testing.assert_allclose(np.asarray(rows1), table[idx], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rows2), table[idx], rtol=1e-6)
+    lk.sharded_update(table, idx, np.ones_like(table[idx]), mesh)
+    assert len(lk._JIT_CACHE) == 2
