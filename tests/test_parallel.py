@@ -257,3 +257,24 @@ def test_explicit_exchange_matches_gspmd(small_inter):
         np.testing.assert_allclose(
             params_e[name], params_g[name], rtol=2e-4, atol=1e-5,
         )
+
+
+def test_bpr_trainer_exchange_auto_single_process(small_inter):
+    """exchange='auto' resolves to gspmd in a single process (ICI-scale
+    mesh) and to a valid mode object either way."""
+    import numpy as np
+
+    from topk_rec_tpu.models import BPR
+    from topk_rec_tpu.parallel import DistributedBPRTrainer, make_mesh
+
+    model = BPR(k=8, seed=0)
+    model.set_interactions(small_inter)
+    tr = DistributedBPRTrainer(
+        model, make_mesh(dp=1, mp=8), batch_size=64, scan_steps=1,
+        exchange="auto",
+    )
+    assert tr.exchange == "gspmd"  # one process here
+    import jax
+
+    loss = tr.train_chunk(jax.random.PRNGKey(0))
+    assert np.isfinite(loss)

@@ -135,6 +135,13 @@ class DistributedBPRTrainer(_DistributedPairwiseTrainer):
       planned-RMSProp semantics; tests/test_parallel.py asserts it).
       Per-chunk overflow counts (uniques dropped by the fixed
       ``capacity``) are accumulated in ``last_overflow``.
+    * ``exchange="auto"``: explicit when the mesh spans multiple
+      PROCESSES and is pure-mp (the HLO comms audit showed GSPMD ships
+      full-batch replicated-gather capacities to every device — 3.9× the
+      explicit path's deduped owner traffic at batch 8192, which matters
+      on a DCN edge; BASELINE.md "Projected multi-chip scaling"), GSPMD
+      otherwise (on one ICI-connected host both are µs-scale and GSPMD
+      supports dp×mp meshes).
     """
 
     PARAM_SPECS = BPR_PARAM_SPECS
@@ -148,7 +155,15 @@ class DistributedBPRTrainer(_DistributedPairwiseTrainer):
         exchange: str = "gspmd",
         capacity: int = 0,
     ):
-        assert exchange in ("gspmd", "explicit"), exchange
+        assert exchange in ("gspmd", "explicit", "auto"), exchange
+        if exchange == "auto":
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            pure_mp = int(axes.get("dp", 1)) == 1
+            exchange = (
+                "explicit"
+                if jax.process_count() > 1 and pure_mp
+                else "gspmd"
+            )
         self.exchange = exchange
         self.capacity = capacity
         self.last_overflow = 0
