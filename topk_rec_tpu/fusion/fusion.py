@@ -78,6 +78,50 @@ class ModalityScores:
             cols.append(jnp.sum(U[u] * V[i], axis=1))
         return jnp.stack(cols, axis=-1)
 
+    def fused_scorer(self, weights: np.ndarray, cand_ids):
+        """Chunk scorer computing the WEIGHTED fusion as one concat
+        matmul: Σ_f w_f·U_f·V_fᵀ == concat_f(w_f·U_f) · concat_f(V_f)ᵀ —
+        blockwise-scaling the user side folds the weights in exactly, so
+        the [CU, n_cand, F] stack (and its VMEM/HBM traffic) never
+        exists on the eval path. Works for global [F] and per-user
+        [n_users, F] weights (error fusion); the per-modality stack is
+        still used where modalities are needed separately
+        (``chunk_stack`` — weight learning).
+        """
+        weights = jnp.asarray(np.asarray(weights, dtype=np.float32))
+        per_user = weights.ndim == 2
+        cand = jnp.asarray(np.asarray(cand_ids))
+        V_cat = jnp.concatenate([V[cand] for V in self._V], axis=1)
+        # eager ops (each is one fused XLA call; no jitted closure over
+        # the big V_cat — closures bake arrays into the HLO and the
+        # remote-compile service rejects large requests, CLAUDE.md)
+        if not per_user:
+            U_cat = jnp.concatenate(
+                [w * U for w, U in zip(weights, self._U)], axis=1
+            )
+
+            def scorer(start, stop):
+                return jnp.dot(
+                    U_cat[start:stop], V_cat.T,
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+
+            def scorer(start, stop):
+                w = weights[start:stop]
+                U_cat = jnp.concatenate(
+                    [
+                        w[:, f : f + 1] * U[start:stop]
+                        for f, U in enumerate(self._U)
+                    ],
+                    axis=1,
+                )
+                return jnp.dot(
+                    U_cat, V_cat.T, preferred_element_type=jnp.float32
+                )
+
+        return scorer
+
 
 # ---------------------------------------------------------------------------
 # weight strategies
@@ -286,20 +330,9 @@ def evaluate_fused(
     the reciprocal-rank variant populated (ref utils.py:116-119).
     """
     weights = np.asarray(weights, dtype=np.float32)
-    per_user = weights.ndim == 2
-    cand_dev = jnp.asarray(np.asarray(cand_ids))
-    w_dev = jnp.asarray(weights)
-
-    @jax.jit
-    def fuse(stack, w):
-        if per_user:
-            return jnp.einsum("ucf,uf->uc", stack, w)
-        return jnp.einsum("ucf,f->uc", stack, w)
-
-    def scorer(start, stop):
-        stack = modalities.chunk_stack(start, stop, cand_dev)
-        w = w_dev[start:stop] if per_user else w_dev
-        return fuse(stack, w)
+    # one blockwise-scaled concat matmul per chunk — the per-modality
+    # [CU, n_cand, F] stack never materializes (see fused_scorer)
+    scorer = modalities.fused_scorer(weights, cand_ids)
 
     vals, idx, seen_above = topk_unseen_scorer(
         scorer,
