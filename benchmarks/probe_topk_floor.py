@@ -113,7 +113,9 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((n_u + pu, CH), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((BU, CH), jnp.float32)],
             )(U_p, V_p, b_p, m_p)
-            return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0))
+            # masked slots hold float32.min — finite, but summing 9M of
+            # them overflows to -inf; drop them before the checksum
+            return jnp.sum(jnp.where(out < -1e30, 0.0, out))
 
         return go, (U_p, V_p, b_p, m_p)
 
