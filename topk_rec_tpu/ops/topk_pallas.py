@@ -153,24 +153,71 @@ def _kernel(
     item_base = j * ti
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (tu, _CHUNK), 1)
     neg = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
-    m1 = m2 = m3 = m4 = neg
-    # dead slots (value NEG_INF) carry an arbitrary in-range column; they
-    # can never be selected ahead of a live lane and index-keyed mask-out
-    # of a NEG_INF alias is harmless.
-    g1 = g2 = g3 = lane128
-    for c in range(C):
-        v = scores[:, c * _CHUNK : (c + 1) * _CHUNK]
-        gv = item_base + c * _CHUNK + lane128
-        m1, g1, v, gv = _top_insert(m1, g1, v, gv)
-        m2, g2, v, gv = _top_insert(m2, g2, v, gv)
-        # level 3 needs no displaced position: only the displaced VALUE
-        # feeds the m4 trigger
-        gt = v > m3
-        m3n = jnp.maximum(v, m3)
-        v = jnp.minimum(v, m3)
-        g3 = jnp.where(gt, gv, g3)
-        m3 = m3n
-        m4 = jnp.maximum(v, m4)
+
+    def cascade(c_lo, c_hi):
+        # running top-3 (+displaced-max m4) over chunks [c_lo, c_hi).
+        # dead slots (value NEG_INF) carry an arbitrary in-range column;
+        # they can never be selected ahead of a live lane and index-keyed
+        # mask-out of a NEG_INF alias is harmless.
+        m1 = m2 = m3 = m4 = neg
+        g1 = g2 = g3 = lane128
+        for c in range(c_lo, c_hi):
+            v = scores[:, c * _CHUNK : (c + 1) * _CHUNK]
+            gv = item_base + c * _CHUNK + lane128
+            m1, g1, v, gv = _top_insert(m1, g1, v, gv)
+            m2, g2, v, gv = _top_insert(m2, g2, v, gv)
+            # level 3 needs no displaced position: only the displaced
+            # VALUE feeds the m4 trigger
+            gt = v > m3
+            m3n = jnp.maximum(v, m3)
+            v = jnp.minimum(v, m3)
+            g3 = jnp.where(gt, gv, g3)
+            m3 = m3n
+            m4 = jnp.maximum(v, m4)
+        return m1, g1, m2, g2, m3, g3, m4
+
+    def merge(A, B):
+        # exact merge of two cascade states: every global-top-3 element
+        # of the union is inside one side's top-3 (at most its own two
+        # larger sibling values precede it), so inserting B's three
+        # levels into A and folding all displaced values into m4 keeps
+        # both the visibility set and the trigger exact.
+        m1, g1, m2, g2, m3, g3, m4 = A
+        b1, h1, b2, h2, b3, h3, b4 = B
+        m4 = jnp.maximum(m4, b4)
+        for v, gv in ((b1, h1), (b2, h2), (b3, h3)):
+            m1, g1, v, gv = _top_insert(m1, g1, v, gv)
+            m2, g2, v, gv = _top_insert(m2, g2, v, gv)
+            gt = v > m3
+            m3n = jnp.maximum(v, m3)
+            v = jnp.minimum(v, m3)
+            g3 = jnp.where(gt, gv, g3)
+            m3 = m3n
+            m4 = jnp.maximum(v, m4)
+        return m1, g1, m2, g2, m3, g3, m4
+
+    # v4.1 experiment (kept for narrow user tiles, NEUTRAL at the
+    # default): the serial 32-chunk cascade looked dependency-chain
+    # stalled (depth-1 sweep costs 0.5 ms where depth-3 costs ~6.5,
+    # probe_topk_floor.py), so this splits the sweep into independent
+    # sub-cascades merged exactly (a global top-3 element is always
+    # inside its sub-range's top-3; displaced values fold into m4).
+    # Measured: the extra live states (7 [tu,128] arrays each) blow the
+    # 16 MB scoped-VMEM stack at block_u=256 (even split 2), and
+    # split4 @ block_u=192 = 21.45 ms vs serial @ 256 = 20.3 ms — the
+    # ILP win does not beat the wider tile, so the default stays SERIAL
+    # at the default block_u; narrow tiles (<=192 rows), where the live
+    # states fit the VMEM stack, use split 4.
+    split = min(4 if tu <= 192 else 1, max(1, C // 2))
+    bounds = [round(i * C / split) for i in range(split + 1)]
+    states = [cascade(bounds[i], bounds[i + 1]) for i in range(split)]
+    while len(states) > 1:
+        states = [
+            merge(states[i], states[i + 1])
+            if i + 1 < len(states) else states[i]
+            for i in range(0, len(states), 2)
+        ]
+    m1, g1, m2, g2, m3, g3, m4 = states[0]
     if C > 3:
         row_m4 = jnp.max(m4, axis=1, keepdims=True)
         run_m4[:] = jnp.maximum(run_m4[:], jnp.broadcast_to(row_m4, run_m4.shape))
@@ -207,20 +254,54 @@ def _kernel(
         if k <= _REGROUP_MAX_K and R > _REGROUP_DEPTH:
             neg = jnp.full((tu, _CHUNK), NEG_INF, jnp.float32)
             lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _CHUNK), 1)
-            r1 = r2 = r3 = r4 = m5 = neg
-            h1 = h2 = h3 = h4 = lane
-            for c in range(R):
-                v = cand_v[:, c * _CHUNK : (c + 1) * _CHUNK]
-                gv = cand_i[:, c * _CHUNK : (c + 1) * _CHUNK]
-                r1, h1, v, gv = _top_insert(r1, h1, v, gv)
-                r2, h2, v, gv = _top_insert(r2, h2, v, gv)
-                r3, h3, v, gv = _top_insert(r3, h3, v, gv)
-                gt = v > r4
-                r4n = jnp.maximum(v, r4)
-                v = jnp.minimum(v, r4)
-                h4 = jnp.where(gt, gv, h4)
-                r4 = r4n
-                m5 = jnp.maximum(v, m5)
+
+            def rg_cascade(c_lo, c_hi, items):
+                r1 = r2 = r3 = r4 = m5 = neg
+                h1 = h2 = h3 = h4 = lane
+                for v, gv in items[c_lo:c_hi]:
+                    r1, h1, v, gv = _top_insert(r1, h1, v, gv)
+                    r2, h2, v, gv = _top_insert(r2, h2, v, gv)
+                    r3, h3, v, gv = _top_insert(r3, h3, v, gv)
+                    gt = v > r4
+                    r4n = jnp.maximum(v, r4)
+                    v = jnp.minimum(v, r4)
+                    h4 = jnp.where(gt, gv, h4)
+                    r4 = r4n
+                    m5 = jnp.maximum(v, m5)
+                return r1, h1, r2, h2, r3, h3, r4, h4, m5
+
+            # split into independent chains + exact merge, as for the
+            # tile stats above (global top-4 of the union is within one
+            # side's top-4; displaced values fold into the m5 trigger)
+            items = [
+                (
+                    cand_v[:, c * _CHUNK : (c + 1) * _CHUNK],
+                    cand_i[:, c * _CHUNK : (c + 1) * _CHUNK],
+                )
+                for c in range(R)
+            ]
+            # like the stats split: the second live state only fits the
+            # scoped-VMEM stack at narrow user tiles
+            sp = 2 if (R >= 6 and tu <= 192) else 1
+            rb = [round(i * R / sp) for i in range(sp + 1)]
+            rst = [rg_cascade(rb[i], rb[i + 1], items) for i in range(sp)]
+            while len(rst) > 1:
+                A, B = rst[0], rst[1]
+                r1, h1, r2, h2, r3, h3, r4, h4, m5 = A
+                m5 = jnp.maximum(m5, B[8])
+                for v, gv in ((B[0], B[1]), (B[2], B[3]), (B[4], B[5]),
+                              (B[6], B[7])):
+                    r1, h1, v, gv = _top_insert(r1, h1, v, gv)
+                    r2, h2, v, gv = _top_insert(r2, h2, v, gv)
+                    r3, h3, v, gv = _top_insert(r3, h3, v, gv)
+                    gt = v > r4
+                    r4n = jnp.maximum(v, r4)
+                    v = jnp.minimum(v, r4)
+                    h4 = jnp.where(gt, gv, h4)
+                    r4 = r4n
+                    m5 = jnp.maximum(v, m5)
+                rst = [(r1, h1, r2, h2, r3, h3, r4, h4, m5)] + rst[2:]
+            r1, h1, r2, h2, r3, h3, r4, h4, m5 = rst[0]
             comb_v0 = jnp.concatenate([r1, r2, r3, r4], axis=1)
             comb_i = jnp.concatenate([h1, h2, h3, h4], axis=1)
             row_m5 = jnp.max(m5, axis=1, keepdims=True)
