@@ -179,3 +179,31 @@ def test_lists_seen_format_matches_bitmap(small_inter):
     v0, i0 = base.recommend(users, k=7)
     np.testing.assert_allclose(v0, v2, rtol=1e-6)
     np.testing.assert_array_equal(i0, i2)
+
+
+def test_bf16_table_storage(small_inter):
+    """table_dtype=bf16: half-HBM tables; scores equal the oracle
+    computed from bf16-rounded embeddings (on TPU this is bit-identical
+    to fp32 storage because DEFAULT-precision matmuls round inputs to
+    bf16 anyway; on CPU we assert against the rounded oracle)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    rng = np.random.default_rng(6)
+    U = rng.normal(size=(small_inter.n_users, 8)).astype(np.float32)
+    V = rng.normal(size=(small_inter.n_items, 8)).astype(np.float32)
+    b = rng.normal(size=small_inter.n_items).astype(np.float32)
+    srv = TopKServer(U, V, b, small_inter, table_dtype=jnp.bfloat16)
+    assert srv.U.dtype == jnp.bfloat16 and srv.V.dtype == jnp.bfloat16
+    users = np.array([0, 5, 17, 44])
+    vals, idx = srv.recommend(users, k=10, method="exact")
+    Ur = U.astype(ml_dtypes.bfloat16).astype(np.float32)
+    Vr = V.astype(ml_dtypes.bfloat16).astype(np.float32)
+    seen = np.zeros((small_inter.n_users, small_inter.n_items), bool)
+    seen[small_inter.seen_u, small_inter.seen_i] = True
+    for row, u in enumerate(users):
+        scores = Ur[u] @ Vr.T + b
+        scores[seen[u]] = -np.inf
+        want = np.argsort(-scores)[:10]
+        np.testing.assert_array_equal(idx[row], want)
+        np.testing.assert_allclose(vals[row], scores[want], rtol=1e-6)

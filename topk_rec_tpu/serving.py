@@ -91,8 +91,18 @@ class TopKServer:
         exclude_seen: bool = True,
         mesh=None,
         seen_format: str = "bitmap",
+        table_dtype=None,
     ):
-        """``seen_format`` picks the per-user seen-set store:
+        """``table_dtype=jnp.bfloat16`` stores the embedding tables at
+        half the HBM (the production headroom knob for huge user bases).
+        On TPU serving scores are BIT-IDENTICAL to fp32 storage: the
+        query matmul runs at DEFAULT precision, which rounds fp32 inputs
+        to bf16 on the MXU anyway — storing bf16 just performs that
+        rounding once at load instead of per query (the bias stays
+        fp32). tests/test_serving.py asserts equality against the
+        bf16-rounded oracle.
+
+        ``seen_format`` picks the per-user seen-set store:
 
         * ``"bitmap"`` (default): dense uint32 bitmap,
           n_users x n_items/8 bytes — ~91 MB at MovieLens scale, the
@@ -106,8 +116,9 @@ class TopKServer:
           into a transient [batch, n_items] mask; results are identical
           (tests/test_serving.py).
         """
-        self.U = jnp.asarray(U, dtype=jnp.float32)
-        self.V = jnp.asarray(V, dtype=jnp.float32)
+        dt = jnp.float32 if table_dtype is None else table_dtype
+        self.U = jnp.asarray(U, dtype=dt)
+        self.V = jnp.asarray(V, dtype=dt)
         self.bias = (
             jnp.asarray(bias, dtype=jnp.float32).reshape(-1)
             if bias is not None
