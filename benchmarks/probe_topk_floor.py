@@ -11,7 +11,6 @@ the part no selection algorithm can remove (short of an in-kernel packed
 bitmap, which Mosaic's lane-reshape limits currently block).
 """
 
-import functools
 import sys
 import time
 
