@@ -79,19 +79,26 @@ def worker(pid: int, nproc: int, port: str, iters: int) -> None:
     )
 
     inter = synthetic_interactions(8192, 2048, 60_000, seed=0)
-    model = BPR(k=k, seed=0)
-    model.set_interactions(inter)
-    tr = DistributedBPRTrainer(
-        model, mesh, batch_size=4096, scan_steps=4, exchange="explicit"
-    )
-    key = jax.random.PRNGKey(0)
-    tr.train_chunk(key)  # compile
 
-    t0 = time.time()
-    for i in range(max(2, iters // 4)):
-        key, sub = jax.random.split(key)
-        tr.train_chunk(sub)
-    t_chunk = (time.time() - t0) / max(2, iters // 4)
+    def time_chunk(exchange):
+        model = BPR(k=k, seed=0)
+        model.set_interactions(inter)
+        tr = DistributedBPRTrainer(
+            model, mesh, batch_size=4096, scan_steps=4, exchange=exchange
+        )
+        key = jax.random.PRNGKey(0)
+        tr.train_chunk(key)  # compile
+        t0 = time.time()
+        for i in range(max(2, iters // 4)):
+            key, sub = jax.random.split(key)
+            tr.train_chunk(sub)
+        return (time.time() - t0) / max(2, iters // 4)
+
+    t_chunk = time_chunk("explicit")
+    # the GSPMD chunk over the same cross-process boundary: the byte
+    # model (comms_model.py) says it moves ~3.9x the explicit payload —
+    # this measures what that costs through a real Gloo edge
+    t_gspmd = time_chunk("gspmd")
 
     # payload accounting (the validated byte model, comms_model.py)
     lookup_bytes = B * k * 4  # useful rows moved per lookup
@@ -101,7 +108,8 @@ def worker(pid: int, nproc: int, port: str, iters: int) -> None:
         f"update_ms={t_update*1e3:.2f} "
         f"update_MBps={(lookup_bytes)/t_update/1e6:.1f} "
         f"chunk_ms={t_chunk*1e3:.1f} "
-        f"chunk_samples_per_s={4096*4/t_chunk:,.0f}",
+        f"chunk_samples_per_s={4096*4/t_chunk:,.0f} "
+        f"gspmd_chunk_ms={t_gspmd*1e3:.1f}",
         flush=True,
     )
 

@@ -416,3 +416,54 @@ def test_evaluate_friendly_errors(fold_dir, tmp_path):
               "-f", "0", "-sl", "im"])
     msg = str(ei.value)
     assert "malformed" in msg and "final-U.dat" in msg
+
+
+def test_recommend_cli(fold_dir, tmp_path, capsys):
+    """cli recommend: serving surface — top-k unseen items per user with
+    original string ids, matching a numpy oracle."""
+    import numpy as np
+
+    from topk_rec_tpu.data import load_id_map
+    from topk_rec_tpu.data.io import write_dat
+    from topk_rec_tpu.data.dataset import Interactions
+
+    uids = load_id_map(str(fold_dir) + "/uid")
+    iids = load_id_map(str(fold_dir) + "/vid")
+    rng = np.random.default_rng(12)
+    U = rng.normal(size=(len(uids), 6)).astype(np.float32)
+    V = rng.normal(size=(len(iids), 6)).astype(np.float32)
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    write_dat(str(mdir / "final-U.dat"), U)
+    write_dat(str(mdir / "final-V.dat"), V)
+
+    some_users = list(uids)[:3]
+    rc = main([
+        "recommend", "-d", str(fold_dir), "-m", str(mdir), "-f", "0",
+        "-k", "5", *some_users,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+    inter, _, _ = Interactions.from_files(
+        str(fold_dir) + "/uid", str(fold_dir) + "/vid",
+        str(fold_dir) + "/f0tr.txt",
+    )
+    seen = np.zeros((inter.n_users, inter.n_items), bool)
+    seen[inter.seen_u, inter.seen_i] = True
+    inv_items = {v: k for k, v in iids.items()}
+    for line, u in zip(out, some_users):
+        got_user, *cells = line.split(",")
+        assert got_user == u
+        scores = U[uids[u]] @ V.T
+        scores[seen[uids[u]]] = -np.inf
+        want = [inv_items[int(i)] for i in np.argsort(-scores)[:5]]
+        assert [c.split(":")[0] for c in cells] == want
+
+    # unknown user -> friendly error
+    import pytest
+
+    with pytest.raises(SystemExit) as ei:
+        main(["recommend", "-d", str(fold_dir), "-m", str(mdir),
+              "nosuchuser"])
+    assert "unknown user" in str(ei.value)

@@ -444,6 +444,55 @@ def cmd_fuse(args) -> int:
     return 0
 
 
+def cmd_recommend(args) -> int:
+    """Online-serving surface: top-k unseen items for the given users.
+
+    Loads the exported embeddings + the fold's train history (for seen
+    exclusion) into a TopKServer and prints one CSV line per requested
+    user: ``user_id,item_id:score,...``. Users can come from the command
+    line (original string ids) or one-per-line from ``--users-file``.
+    The reference has no serving path at all — its closest analog is
+    re-running the offline evaluate.py batch job.
+    """
+    from .serving import TopKServer
+
+    inter, uids, iids = _load_fold(args.data, args.fold)
+    umat = _read_model_mat(args.model, "final-U.dat", uids)
+    vmat = _read_model_mat(args.model, "final-V.dat", iids)
+    bpath = os.path.join(args.model, "final-B.dat")
+    bmat = (
+        _read_model_mat(args.model, "final-B.dat", iids).reshape(-1)
+        if os.path.exists(bpath)
+        else None
+    )
+    raw_users = list(args.users or [])
+    if args.users_file:
+        with open(args.users_file) as f:
+            raw_users += [ln.strip() for ln in f if ln.strip()]
+    if not raw_users:
+        raise _fail("no users given — pass ids as arguments or --users-file")
+    missing = [u for u in raw_users if u not in uids]
+    if missing:
+        raise _fail(
+            f"unknown user id(s): {', '.join(missing[:5])}"
+            + (" ..." if len(missing) > 5 else "")
+        )
+    inv_items = {v: k for k, v in iids.items()}
+    srv = TopKServer(
+        umat, vmat, bmat, inter, exclude_seen=not args.include_seen
+    )
+    idx = np.array([uids[u] for u in raw_users], dtype=np.int32)
+    vals, items = srv.recommend(idx, k=args.k, method=args.method)
+    for row, u in enumerate(raw_users):
+        cells = [
+            f"{inv_items[int(i)]}:{float(v):.6f}"
+            for v, i in zip(vals[row], items[row])
+            if np.isfinite(v)
+        ]
+        print(u + "," + ",".join(cells))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="topk_rec_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -548,6 +597,22 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--n-samples", type=int, default=None)
     pf.add_argument("--seed", type=int, default=0)
     pf.set_defaults(func=cmd_fuse)
+
+    pr = sub.add_parser(
+        "recommend", help="top-k unseen items for given users (serving)"
+    )
+    pr.add_argument("-d", "--data", required=True)
+    pr.add_argument("-m", "--model", required=True)
+    pr.add_argument("-f", "--fold", type=int, default=0)
+    pr.add_argument("-k", type=int, default=30)
+    pr.add_argument("--method", default="exact",
+                    choices=("exact", "approx", "pallas", "hybrid"))
+    pr.add_argument("--include-seen", action="store_true",
+                    help="do not exclude train-seen items")
+    pr.add_argument("--users-file", default=None,
+                    help="file with one user id per line")
+    pr.add_argument("users", nargs="*", help="user ids (as in the uid file)")
+    pr.set_defaults(func=cmd_recommend)
     return p
 
 
