@@ -124,6 +124,7 @@ def cmd_evaluate(args) -> int:
     ev = DeviceEvaluator(
         inter.seen_bitmap, step=args.step, total=args.total,
         user_chunk=args.user_chunk,
+        use_pallas=getattr(args, "engine", "xla") == "pallas",
         want_rr=False,  # CSV prints accuracy only (ref evaluate.py:113-117)
     )
     for scenario in args.scenarios:
@@ -505,6 +506,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("-t", "--total", type=int, default=_EC.total)
     pe.add_argument("-sl", "--scenarios", nargs="+", default=_EC.scenarios)
     pe.add_argument("--user-chunk", type=int, default=_EC.user_chunk)
+    pe.add_argument("--engine", default="xla", choices=("xla", "pallas"),
+                    help="scoring+top-k backend: chunked lax.top_k (xla) "
+                    "or the fused Pallas kernel — identical output "
+                    "(the kernel is exact incl. ties)")
     pe.set_defaults(func=cmd_evaluate)
 
     pt = sub.add_parser("train", help="train a model and export embeddings")
