@@ -312,9 +312,14 @@ def main() -> None:
 
         cer_iter()  # compile + warm
         cer_iter()  # burn first timed-size block
+        # 3-iteration average: a single timed iteration has read up to
+        # 3x high when it collided with residual async work (0.87 vs a
+        # clean-window 0.285 — round-4 re-measure)
         t0 = time.time()
         cer_iter()
-        dt_cer = time.time() - t0
+        cer_iter()
+        cer_iter()
+        dt_cer = (time.time() - t0) / 3
         print(
             f"extra: cer als {dt_cer:.2f} s/iteration "
             "(d=20000 Woodbury-CG E-solve; reference divisor 122 s)",
@@ -361,7 +366,8 @@ def main() -> None:
         dpm_iter()  # burn first timed-size block
         t0 = time.time()
         dpm_iter()
-        dt_dpm = time.time() - t0
+        dpm_iter()
+        dt_dpm = (time.time() - t0) / 2
         print(
             f"extra: dpm iter {dt_dpm:.2f} s/iteration "
             "(d=20000 encoder predict + ALS + fit; reference divisor "
@@ -376,7 +382,8 @@ def main() -> None:
         dpm_iter()  # burn
         t0 = time.time()
         dpm_iter()
-        dt_fast = time.time() - t0
+        dpm_iter()
+        dt_fast = (time.time() - t0) / 2
         enc.batch_size = 64
         print(
             f"extra: dpm iter fast(fit_batch=1024) {dt_fast:.2f} "
