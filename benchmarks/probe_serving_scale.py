@@ -1,0 +1,96 @@
+"""Serving at production user counts: 1M-user store on one v5e chip.
+
+Builds a TopKServer with 1M users x 10,380 items — bf16 tables
+(table_dtype knob) + the sparse seen-list store (seen_format="lists") —
+and measures pipelined query throughput. Receipts for the serving-scale
+envelope documented in serving.py: at 1M users the dense bitmap would be
+1.3 GB where the max-degree-bounded list store is
+n_users x max_deg x 4 B, and bf16 tables halve the embedding HBM.
+
+Usage: python benchmarks/probe_serving_scale.py [--users 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=1_000_000)
+    ap.add_argument("--items", type=int, default=10_380)
+    ap.add_argument("--d", type=int, default=50)
+    ap.add_argument("--max-deg", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batches", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.cache/jax"
+    )
+
+    from topk_rec_tpu.data.dataset import Interactions
+    from topk_rec_tpu.serving import TopKServer
+
+    rng = np.random.default_rng(0)
+    n_u, n_i, d = args.users, args.items, args.d
+    # build embeddings DIRECTLY on device in bf16: a 1M x 50 fp32 host
+    # upload is 200 MB through a ~150 MB/s tunnel; generating on device
+    # keeps the probe about serving, not the tunnel
+    kU, kV = jax.random.split(jax.random.PRNGKey(0))
+    U = jax.random.normal(kU, (n_u, d), jnp.bfloat16)
+    V = jax.random.normal(kV, (n_i, d), jnp.bfloat16)
+    # synthetic seen interactions at max_deg per user would be a 64M-row
+    # host build; instead wire the server internals directly with a
+    # device-generated padded list store (the exact representation
+    # TopKServer(seen_format="lists") builds from Interactions)
+    srv = TopKServer(
+        np.zeros((1, d), np.float32), np.zeros((1, d), np.float32),
+        None, None, exclude_seen=False,
+    )
+    srv.U, srv.V, srv.bias = U, V, None
+    srv.n_items = n_i
+    srv.seen_format = "lists"
+    srv.seen = jax.random.randint(
+        jax.random.PRNGKey(2), (n_u, args.max_deg), 0, n_i, jnp.int32
+    )
+    hbm = (
+        U.nbytes + V.nbytes + srv.seen.nbytes
+    )
+    print(
+        f"store: {n_u:,} users, bf16 tables + {args.max_deg}-deg lists = "
+        f"{hbm / 1e9:.2f} GB HBM (dense fp32+bitmap would be "
+        f"{(n_u * d * 4 + n_u * ((n_i + 31) // 32) * 4) / 1e9:.2f} GB)",
+        flush=True,
+    )
+
+    qids = [
+        np.asarray(rng.integers(0, n_u, size=args.batch), dtype=np.int32)
+        for _ in range(args.batches)
+    ]
+    # pipelined: dispatch all batches, sync once (CLAUDE.md timing rules)
+    outs = [srv.recommend_async(q, k=30) for q in qids[: args.batches // 2]]
+    float(jnp.sum(outs[-1][0]))  # warm + flush
+    t0 = time.time()
+    outs = [srv.recommend_async(q, k=30) for q in qids]
+    acc = float(sum(jnp.sum(v) for v, i in outs))
+    dt = (time.time() - t0) / args.batches
+    assert np.isfinite(acc)
+    print(
+        f"pipelined recommend: {dt * 1e3:.2f} ms/batch of {args.batch} "
+        f"= {args.batch / dt:,.0f} users/s (k=30, exact, seen-lists)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
