@@ -246,14 +246,26 @@ class TopKServer:
             overflowed = (jnp.sum(ovf_u) + jnp.sum(ovf_s)) > 0
             vals = jnp.where(overflowed, jnp.nan, vals)
             return vals, idx
-        uid_d = jnp.asarray(uid)
-        return _query(
-            self.U[uid_d],
+        # single-dispatch local path: the user-row and seen-row gathers
+        # run INSIDE the jit (3 eager dispatches + 1 call per batch
+        # otherwise — per-batch dispatch dominates small-batch serving)
+        return _query_local(
+            self.U,
             self.V,
             self.bias,
-            self.seen[uid_d],
+            self.seen,
+            jnp.asarray(uid),
             k,
             method,
             self.n_items,
             self.seen_format,
         )
+
+
+@partial(
+    jax.jit, static_argnames=("k", "method", "n_items", "seen_format")
+)
+def _query_local(U, V, bias, seen, uid, k, method, n_items, seen_format):
+    return _query(
+        U[uid], V, bias, seen[uid], k, method, n_items, seen_format
+    )
