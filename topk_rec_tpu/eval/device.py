@@ -393,6 +393,10 @@ def _topk_excl(U, V, bias, excl_bitmap, rr_bitmap, k, user_chunk, use_pallas):
     out_vals = np.empty((n_users, k), dtype=np.float32)
     out_idx = np.empty((n_users, k), dtype=np.int32)
     out_sa = np.empty((n_users, k), dtype=np.int32) if rr_dev is not None else None
+    # dispatch ALL chunks asynchronously, fetch once at the end: a
+    # per-chunk np.asarray would sync per chunk — one tunnel round trip
+    # each (CLAUDE.md timing rules apply to the product path too)
+    pending = []
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         pad = user_chunk - (stop - start)
@@ -410,8 +414,7 @@ def _topk_excl(U, V, bias, excl_bitmap, rr_bitmap, k, user_chunk, use_pallas):
             vals, idx = _score_topk_chunk(
                 u_dev, v_dev, b_dev, excl_words, n_items, k
             )
-        out_vals[start:stop] = np.asarray(vals)[: stop - start]
-        out_idx[start:stop] = np.asarray(idx)[: stop - start]
+        sa = None
         if rr_dev is not None:
             rr_words = rr_dev[start:stop]
             if pad:
@@ -419,6 +422,11 @@ def _topk_excl(U, V, bias, excl_bitmap, rr_bitmap, k, user_chunk, use_pallas):
             sa = _raw_rank_scores(
                 u_dev, v_dev, b_dev, rr_words, idx, n_items
             )
+        pending.append((start, stop, vals, idx, sa))
+    for start, stop, vals, idx, sa in pending:
+        out_vals[start:stop] = np.asarray(vals)[: stop - start]
+        out_idx[start:stop] = np.asarray(idx)[: stop - start]
+        if sa is not None:
             out_sa[start:stop] = np.asarray(sa)[: stop - start]
     if rr_dev is not None:
         return out_vals, out_idx, out_sa
