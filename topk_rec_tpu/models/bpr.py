@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ like==1 filter, so the RHS rating weights reduce to a·Σ v_j).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
