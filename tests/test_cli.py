@@ -387,17 +387,18 @@ def test_train_explicit_exchange_rejected_for_dp_mesh(fold_dir, tmp_path):
         ])
 
 
-def test_evaluate_friendly_errors(fold_dir, tmp_path):
+def test_evaluate_friendly_errors(fold_dir, tmp_path, capsys):
     """The three obvious user mistakes — missing model dir, missing
-    final-U.dat, malformed .dat — exit with a friendly message, not a raw
-    traceback (VERDICT r3 weak #6)."""
+    final-U.dat, malformed .dat — exit with code 2 and a friendly message
+    on stderr, not a raw traceback (VERDICT r3 weak #6; ADVICE r4)."""
     import pytest
 
     # 1. missing model dir
     with pytest.raises(SystemExit) as ei:
         main(["evaluate", "-d", str(fold_dir), "-m", str(tmp_path / "nope"),
               "-f", "0", "-sl", "im"])
-    assert "does not exist" in str(ei.value)
+    assert ei.value.code == 2
+    assert "does not exist" in capsys.readouterr().err
 
     # 2. dir exists, final-U.dat missing
     empty = tmp_path / "empty"
@@ -405,7 +406,8 @@ def test_evaluate_friendly_errors(fold_dir, tmp_path):
     with pytest.raises(SystemExit) as ei:
         main(["evaluate", "-d", str(fold_dir), "-m", str(empty),
               "-f", "0", "-sl", "im"])
-    assert "final-U.dat" in str(ei.value)
+    assert ei.value.code == 2
+    assert "final-U.dat" in capsys.readouterr().err
 
     # 3. malformed .dat (ragged rows)
     bad = tmp_path / "bad"
@@ -414,8 +416,9 @@ def test_evaluate_friendly_errors(fold_dir, tmp_path):
     with pytest.raises(SystemExit) as ei:
         main(["evaluate", "-d", str(fold_dir), "-m", str(bad),
               "-f", "0", "-sl", "im"])
-    msg = str(ei.value)
-    assert "malformed" in msg and "final-U.dat" in msg
+    assert ei.value.code == 2
+    err = capsys.readouterr().err
+    assert "malformed" in err and "final-U.dat" in err
 
 
 def test_recommend_cli(fold_dir, tmp_path, capsys):
@@ -466,7 +469,8 @@ def test_recommend_cli(fold_dir, tmp_path, capsys):
     with pytest.raises(SystemExit) as ei:
         main(["recommend", "-d", str(fold_dir), "-m", str(mdir),
               "nosuchuser"])
-    assert "unknown user" in str(ei.value)
+    assert ei.value.code == 2
+    assert "unknown user" in capsys.readouterr().err
 
 
 def test_evaluate_engine_pallas_identical(fold_dir, tmp_path, capsys):

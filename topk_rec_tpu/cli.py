@@ -89,7 +89,8 @@ def _fail(msg: str) -> "SystemExit":
     """Friendly CLI error: message on stderr, exit code 2, no traceback
     (the reference CLI is the product surface this replaces; a missing
     model dir must not dump a read_dat stack)."""
-    return SystemExit(f"error: {msg}")
+    print(f"error: {msg}", file=sys.stderr)
+    return SystemExit(2)
 
 
 def _read_model_mat(mdir: str, name: str, ids) -> np.ndarray:
@@ -420,12 +421,16 @@ def cmd_fuse(args) -> int:
     elif args.strategy == "svm":
         weights = svm_fusion_weights(
             modalities, inter,
-            n_samples=args.n_samples or 100_000, seed=args.seed,
+            n_samples=args.n_samples if args.n_samples is not None
+            else 100_000,
+            seed=args.seed,
         )
     elif args.strategy == "bpr":
         weights = bpr_fusion_weights(
             modalities, inter,
-            n_samples=args.n_samples or 10_000_000, seed=args.seed,
+            n_samples=args.n_samples if args.n_samples is not None
+            else 10_000_000,
+            seed=args.seed,
         )
     else:
         raise SystemExit(f"unknown strategy {args.strategy!r}")

@@ -198,14 +198,17 @@ class MLPEncoder(Encoder):
             # freshly-allocated same-shape array could reuse the freed
             # address and silently hit the stale cache
             self._x_cache_src = X
-            flat = X.reshape(-1)
-            self._x_probe_idx = np.linspace(
-                0, flat.shape[0] - 1, num=min(16, flat.shape[0]), dtype=np.int64
+            flat_idx = np.linspace(
+                0, X.size - 1, num=min(16, X.size), dtype=np.int64
             )
-            self._x_probe = np.array(flat[self._x_probe_idx])
+            # 2-D index tuples, NOT reshape(-1): reshape on a
+            # non-C-contiguous X (transposed/column-sliced view) silently
+            # copies the whole ~GB matrix per call (ADVICE r4)
+            self._x_probe_idx = np.unravel_index(flat_idx, X.shape)
+            self._x_probe = np.array(X[self._x_probe_idx])
             self._x_cache = jnp.asarray(X, dtype=jnp.float32)
         else:
-            sample = X.reshape(-1)[self._x_probe_idx]
+            sample = X[self._x_probe_idx]
             if not np.array_equal(
                 sample, self._x_probe, equal_nan=True
             ):

@@ -57,13 +57,16 @@ _SENTINEL = 2**31 - 1
 # twice per batch), and a fresh ``jax.jit(shard_map(partial(...)))``
 # object per call would RETRACE every time (measured ~2 s/call on the
 # two-process CPU mesh vs ~50 ms once cached). Keyed on everything that
-# shapes the program; Mesh is hashable.
+# shapes the program; Mesh is hashable. Bounded LRU (ADVICE r4): a
+# long-lived process cycling many meshes/shapes must not retain every
+# compiled executable (and its Mesh) forever.
 _JIT_CACHE = {}
+_JIT_CACHE_MAX = 64
 
 
 def _cached_jit(kind, body_fn, mesh, in_specs, out_specs, **static):
     key = (kind, mesh, in_specs, out_specs, tuple(sorted(static.items())))
-    fn = _JIT_CACHE.get(key)
+    fn = _JIT_CACHE.pop(key, None)
     if fn is None:
         fn = jax.jit(
             jax.shard_map(
@@ -73,7 +76,9 @@ def _cached_jit(kind, body_fn, mesh, in_specs, out_specs, **static):
                 out_specs=out_specs,
             )
         )
-        _JIT_CACHE[key] = fn
+    _JIT_CACHE[key] = fn  # re-insert = move to MRU end (dicts are ordered)
+    while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
     return fn
 
 
