@@ -377,3 +377,55 @@ def test_bpr_fused_table_layout_matches_separate():
 def test_bpr_table_layout_validation():
     with pytest.raises(ValueError):
         BPR(k=4, table_layout="bogus")
+
+
+def test_cer_e_solve_nonconvergence_detected(content_fold):
+    """Woodbury-CG E-solve with an ill-conditioned setting (tiny le, CG
+    budget of 1 iteration) must NOT return a silently wrong E: it warns
+    and falls back to the exact direct solve (VERDICT r4 weak #3)."""
+    import warnings
+
+    import jax.numpy as jnp
+    import pytest
+
+    from topk_rec_tpu.models.cer import (
+        _ridge_direct,
+        _ridge_woodbury_direct,
+    )
+
+    tr, likes, feat = content_fold
+    # d=40 > n_items? content_fold has n_items=100 > d=40, which routes
+    # the direct path — build a transposed-regime problem instead:
+    # few items, wide features => d > n_items => Woodbury-CG path.
+    rng = np.random.default_rng(5)
+    n_items, d, k = 24, 64, 6
+    F = rng.standard_normal((n_items, d)).astype(np.float32)
+    Y = rng.standard_normal((n_items, k)).astype(np.float32)
+    model = CER(k=k, d=d, lv=10.0, le=1e-4, seed=1)
+    model.n_items = n_items
+    model.feat = F
+    model._feat_dev = jnp.asarray(F)
+    model._gram_items = None
+    model.e_solver_iters = 1  # starve CG so it cannot converge
+
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        E = np.asarray(model._solve_E(jnp.asarray(Y)))
+    # the fallback result is the exact ridge solution in its
+    # well-conditioned n×n Woodbury form (at tiny le the d×d normal
+    # equations are themselves near-singular — rank(FᵀF) = n < d — so
+    # the n×n system is the correct numerical oracle here)
+    G = jnp.asarray(F) @ jnp.asarray(F).T
+    E_exact = np.asarray(_ridge_woodbury_direct(
+        jnp.asarray(F), G, jnp.asarray(Y), model.lv, model.le))
+    np.testing.assert_allclose(E, E_exact, rtol=2e-3, atol=2e-5)
+
+    # healthy setting (reference-scale le): converges, no warning
+    model.le = 1e4
+    model.e_solver_iters = 60
+    model._gram_items = None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        E2 = np.asarray(model._solve_E(jnp.asarray(Y)))
+    E2_exact = np.asarray(_ridge_direct(jnp.asarray(F), jnp.asarray(Y),
+                                        model.lv, model.le))
+    np.testing.assert_allclose(E2, E2_exact, rtol=1e-4, atol=1e-6)

