@@ -335,6 +335,7 @@ class BPR(Recommender):
         seed: int = 0,
         k_candidates: int = 2,
         table_layout: str = "auto",
+        membership: str = "auto",
     ):
         super().__init__(k)
         self.lu = lambda_u
@@ -352,12 +353,18 @@ class BPR(Recommender):
         # 'auto' picks the measured winner per batch size (see
         # _FUSED_LAYOUT_MIN_BATCH); 'separate'/'fused' pin it.
         self.table_layout = table_layout
+        # membership: 'auto'|'bitmap'|'sorted' negative-probe store
+        # (ops/sampling.py TripletSampler — sorted-CSR keeps huge
+        # catalogs off the dense bitmap footprint)
+        self.membership = membership
         self.sampler: Optional[TripletSampler] = None
         self._params = None
         self._ms = None
 
     def _on_data_loaded(self) -> None:
-        self.sampler = TripletSampler(self.inter, self.k_candidates)
+        self.sampler = TripletSampler(
+            self.inter, self.k_candidates, membership=self.membership
+        )
 
     # ---- parameter init / sync ----
 

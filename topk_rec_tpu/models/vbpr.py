@@ -255,6 +255,7 @@ class VBPR(Recommender):
         seed: int = 0,
         k_candidates: int = 2,
         full_k: bool = False,
+        membership: str = "auto",
     ):
         super().__init__(k)
         self.d = d
@@ -274,12 +275,15 @@ class VBPR(Recommender):
         self.mode = mode
         self.seed = seed
         self.k_candidates = k_candidates
+        self.membership = membership
         self.sampler: Optional[TripletSampler] = None
         self._params = None
         self._ms = None
 
     def _on_data_loaded(self) -> None:
-        self.sampler = TripletSampler(self.inter, self.k_candidates)
+        self.sampler = TripletSampler(
+            self.inter, self.k_candidates, membership=self.membership
+        )
 
     def set_features(self, feat) -> None:
         super().set_features(feat)
