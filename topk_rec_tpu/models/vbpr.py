@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import TripletSampler, _sample_triplets
+from ..ops.sampling import (
+    TripletSampler,
+    _sample_triplets,
+    _sample_triplets_sorted,
+)
 from ..utils import tprint
 from .base import Recommender
 
@@ -49,6 +53,8 @@ def _chunk_impl(
     mode: str,
     constrain_batch=None,
     constrain_table=None,
+    membership: str = "bitmap",
+    n_probe_iters: int = 0,
 ):
     """VBPR chunk body; sharding hooks as in models/bpr.py ``_chunk_impl``
     (the distributed trainer compiles this same body over a mesh)."""
@@ -108,15 +114,27 @@ def _chunk_impl(
         return p - lr * g / jnp.sqrt(m_new + 1e-10), m_new
 
     # whole-chunk sampling + chunk-planned sparse updates (see models/bpr.py)
-    u_all, i_all, j_all = _sample_triplets(
-        key,
-        user_rows,
-        flat_pos,
-        pos_bitmap,
-        n_steps * batch_size,
-        n_items,
-        k_candidates,
-    )
+    if membership == "sorted":
+        u_all, i_all, j_all = _sample_triplets_sorted(
+            key,
+            user_rows,
+            flat_pos,
+            pos_bitmap,
+            n_steps * batch_size,
+            n_items,
+            k_candidates,
+            n_probe_iters,
+        )
+    else:
+        u_all, i_all, j_all = _sample_triplets(
+            key,
+            user_rows,
+            flat_pos,
+            pos_bitmap,
+            n_steps * batch_size,
+            n_items,
+            k_candidates,
+        )
     u_steps = constrain_batch(u_all.reshape(n_steps, batch_size))
     i_steps = constrain_batch(i_all.reshape(n_steps, batch_size))
     j_steps = constrain_batch(j_all.reshape(n_steps, batch_size))
@@ -210,7 +228,10 @@ def _chunk_impl(
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "n_items", "k_candidates", "n_steps", "mode"),
+    static_argnames=(
+        "batch_size", "n_items", "k_candidates", "n_steps", "mode",
+        "membership", "n_probe_iters",
+    ),
     donate_argnums=(0, 1),
 )
 def _train_chunk(
@@ -227,11 +248,14 @@ def _train_chunk(
     k_candidates: int,
     n_steps: int,
     mode: str,
+    membership: str = "bitmap",
+    n_probe_iters: int = 0,
 ):
     """Single-device compiled chunk (see ``_chunk_impl``)."""
     return _chunk_impl(
         params, ms, key, feat, user_rows, flat_pos, pos_bitmap, hyper,
         batch_size, n_items, k_candidates, n_steps, mode,
+        membership=membership, n_probe_iters=n_probe_iters,
     )
 
 
@@ -420,13 +444,17 @@ class VBPR(Recommender):
                     feat_dev,
                     s.user_rows,
                     s.flat_pos,
-                    s.pos_bitmap,
+                    s.pos_bitmap
+                    if s.membership == "bitmap"
+                    else s.flat_sorted,
                     hyper,
                     batch_size,
                     self.n_items,
                     self.k_candidates,
                     n_steps,
                     self.mode,
+                    membership=s.membership,
+                    n_probe_iters=getattr(s, "n_probe_iters", 0),
                 )
                 chunk_losses.append(loss)  # defer sync (see models/bpr.py)
             total_loss = float(jnp.sum(jnp.stack(chunk_losses)))

@@ -132,6 +132,100 @@ long long tkr_parse_ratings(const char* path, const char** uid_strs,
 
 void tkr_free(void* p) { std::free(p); }
 
+// Parse a "%f "-style space-separated text matrix (final-*.dat) into a
+// flat float32 array. The Python wrapper validates rectangularity from
+// (n_vals, n_rows, first_cols), mirroring data/io.py::read_dat. Plays
+// the role of the reference's mtx_fscanf (old/cr/utils.cpp:90-113).
+// Returns 0 ok, 1 open failure, 2 non-numeric token.
+long long tkr_parse_dat(const char* path, float** out_data,
+                        long long* out_n_vals, long long* out_n_rows,
+                        long long* out_first_cols) {
+  size_t len = 0;
+  char* buf = read_whole_file(path, &len);
+  if (!buf) return 1;
+  std::vector<float> vals;
+  vals.reserve(len / 9 + 16);  // "%f" floats are ~9 chars
+  long long rows = 0, first_cols = -1, line_tokens = 0;
+  char* p = buf;
+  char* end = buf + len;
+  while (p < end) {
+    char c = *p;
+    if (c == '\n') {
+      if (line_tokens > 0) {
+        ++rows;
+        if (first_cols < 0) first_cols = line_tokens;
+      }
+      line_tokens = 0;
+      ++p;
+    } else if (c == ' ' || c == '\t' || c == '\r') {
+      ++p;
+    } else {
+      // fast path for the writer's own "%f" format ([-]digits.digits):
+      // exact digit accumulation in double (<= 13 significant digits
+      // fits exactly), one scale, one float32 round — ~5x strtof, which
+      // burns time on locale/hex/exponent generality. Any token with an
+      // exponent/nan/inf falls back to strtof for full generality.
+      char* q = p;
+      bool neg = false;
+      if (*q == '-' || *q == '+') {
+        neg = (*q == '-');
+        ++q;
+      }
+      double acc = 0.0;
+      int digits = 0;
+      while (q < end && *q >= '0' && *q <= '9') {
+        acc = acc * 10.0 + (*q - '0');
+        ++digits;
+        ++q;
+      }
+      int frac = 0;
+      if (q < end && *q == '.') {
+        ++q;
+        while (q < end && *q >= '0' && *q <= '9') {
+          acc = acc * 10.0 + (*q - '0');
+          ++digits;
+          ++frac;
+          ++q;
+        }
+      }
+      bool plain = digits > 0 && digits <= 15 &&
+                   (q >= end || *q == ' ' || *q == '\t' || *q == '\n' ||
+                    *q == '\r');
+      if (plain) {
+        static const double kPow10[16] = {
+            1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10,
+            1e11, 1e12, 1e13, 1e14, 1e15};
+        double v = acc / kPow10[frac];
+        vals.push_back((float)(neg ? -v : v));
+        ++line_tokens;
+        p = q;
+      } else {
+        float v = std::strtof(p, &q);
+        if (q == p) {
+          std::free(buf);
+          return 2;
+        }
+        vals.push_back(v);
+        ++line_tokens;
+        p = q;
+      }
+    }
+  }
+  if (line_tokens > 0) {
+    ++rows;
+    if (first_cols < 0) first_cols = line_tokens;
+  }
+  std::free(buf);
+  float* arr = static_cast<float*>(std::malloc(vals.size() * sizeof(float)));
+  if (!arr && !vals.empty()) return 1;
+  std::memcpy(arr, vals.data(), vals.size() * sizeof(float));
+  *out_data = arr;
+  *out_n_vals = (long long)vals.size();
+  *out_n_rows = rows;
+  *out_first_cols = first_cols < 0 ? 0 : first_cols;
+  return 0;
+}
+
 // Write a float32 matrix as "%f " text rows (trailing space before \n),
 // byte-compatible with the reference format. Returns 0 on success.
 int tkr_write_dat(const char* path, const float* data, long long rows,

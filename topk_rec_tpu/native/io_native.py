@@ -56,6 +56,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_longlong,
             ctypes.c_longlong,
         ]
+        lib.tkr_parse_dat.restype = ctypes.c_longlong
+        lib.tkr_parse_dat.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # out data
+            ctypes.POINTER(ctypes.c_longlong),               # out n_vals
+            ctypes.POINTER(ctypes.c_longlong),               # out n_rows
+            ctypes.POINTER(ctypes.c_longlong),               # out first_cols
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -104,6 +112,38 @@ def parse_ratings(
         lib.tkr_free(ptr)
         arrays.append(arr)
     return tuple(arrays)
+
+
+def parse_dat(path: str) -> Tuple[np.ndarray, int, int]:
+    """Fast ``.dat`` text-matrix parse -> (flat float32, n_rows,
+    first_cols). The caller (data/io.py::read_dat) owns rectangularity
+    validation so error messages stay identical to the Python spec.
+    Raises ValueError on a non-numeric token (rc=2)."""
+    lib = _load()
+    assert lib is not None
+    data = ctypes.POINTER(ctypes.c_float)()
+    n_vals = ctypes.c_longlong(0)
+    n_rows = ctypes.c_longlong(0)
+    first_cols = ctypes.c_longlong(0)
+    rc = lib.tkr_parse_dat(
+        path.encode(), ctypes.byref(data), ctypes.byref(n_vals),
+        ctypes.byref(n_rows), ctypes.byref(first_cols),
+    )
+    if rc == 2:
+        raise ValueError(
+            f"{path}: malformed .dat — non-numeric value in the matrix"
+        )
+    if rc != 0:
+        raise IOError(f"native parse_dat failed for {path} (rc={rc})")
+    if n_vals.value == 0:
+        flat = np.zeros((0,), dtype=np.float32)
+    else:
+        flat = np.ctypeslib.as_array(data, shape=(n_vals.value,)).astype(
+            np.float32, copy=True
+        )
+    if bool(data):
+        lib.tkr_free(data)
+    return flat, n_rows.value, first_cols.value
 
 
 def write_dat(path: str, mat: np.ndarray) -> bool:

@@ -538,9 +538,26 @@ def fused_score_topk(
     # are ascending column ranges and within-span ties are index-asc.
     max_span = 3 * block_i
     if n_i > max_span:
+        # pad the catalog to a whole number of spans FIRST so every span
+        # is the same program shape: a ragged last span adds a second
+        # distinct Pallas program to the jit, and the combined
+        # 10-full-spans + remainder HLO crashed the TPU compile service
+        # at a 131,072-item catalog (measured; 10 uniform spans compile
+        # fine). Padded columns carry mask=1 and are never returned.
+        pad_cols = (-n_i) % max_span
+        if pad_cols:
+            V = jnp.pad(V.astype(jnp.float32), ((0, pad_cols), (0, 0)))
+            if bias is not None:
+                bias = jnp.pad(
+                    bias.astype(jnp.float32).reshape(-1), (0, pad_cols)
+                )
+            mask = jnp.pad(
+                mask.astype(jnp.int8), ((0, 0), (0, pad_cols)),
+                constant_values=1,
+            )
         vs, is_ = [], []
-        for start in range(0, n_i, max_span):
-            stop = min(start + max_span, n_i)
+        for start in range(0, n_i + pad_cols, max_span):
+            stop = start + max_span
             sv, si = fused_score_topk(
                 U, V[start:stop],
                 None if bias is None else bias.reshape(-1)[start:stop],
