@@ -133,8 +133,19 @@ def _prefetch_backend() -> None:
 
 
 def cmd_evaluate(args) -> int:
+    # TKR_TIMING=1: per-phase wall times on stderr (fixed-cost tracking)
+    timing = os.environ.get("TKR_TIMING") == "1"
+    import time as _time
+
+    marks = [("start", _time.time())]
+
+    def mark(name):
+        if timing:
+            marks.append((name, _time.time()))
+
     _prefetch_backend()
     inter, uids, iids = _load_fold(args.data, args.fold)
+    mark("fold_parse")
     umat = _read_model_mat(args.model, "final-U.dat", uids)
     vmat = _read_model_mat(args.model, "final-V.dat", iids)
     bpath = os.path.join(args.model, "final-B.dat")
@@ -143,6 +154,7 @@ def cmd_evaluate(args) -> int:
         if os.path.exists(bpath)
         else None
     )
+    mark("dat_parse")
     ev = DeviceEvaluator(
         inter.seen_bitmap, step=args.step, total=args.total,
         user_chunk=args.user_chunk,
@@ -153,9 +165,17 @@ def cmd_evaluate(args) -> int:
         cand_ids, likes = _scenario_inputs(
             args.data, args.fold, scenario, uids, iids
         )
+        mark(f"{scenario}_inputs")
         res = ev.evaluate(umat, vmat, bmat, cand_ids, likes)
+        mark(f"{scenario}_eval")
         line = scenario + "".join(",%.6f" % a for a in res.accuracy)
         print(line)
+    if timing:
+        prev = marks[0][1]
+        for name, t in marks[1:]:
+            print(f"timing: {name} {t - prev:.2f}s", file=sys.stderr)
+            prev = t
+        print(f"timing: total {prev - marks[0][1]:.2f}s", file=sys.stderr)
     return 0
 
 

@@ -359,13 +359,23 @@ def evaluate_scores_device_full(
     cand = np.asarray(cand_item_ids, dtype=np.int64)
     k = min(total, len(cand))
     notcand = _notcand_words(n_items, cand)
-    excl = seen_bitmap | notcand[None, :]
-    full_ids = np.arange(n_items, dtype=np.int64)
+    # combine seen | notcand ON DEVICE: the host OR materializes (and
+    # then ships) a fresh ~91 MB bitmap per scenario at MovieLens scale;
+    # the device OR ships the seen bitmap once (callers may pass an
+    # already-device-resident bitmap — DeviceEvaluator caches it across
+    # scenarios) plus n_words*4 bytes of notcand.
+    seen_dev = (
+        seen_bitmap
+        if isinstance(seen_bitmap, jax.Array)
+        else jnp.asarray(seen_bitmap)
+    )
+    nc_dev = jnp.asarray(notcand)
+    excl = _or_bitmap(seen_dev, nc_dev)
     if want_rr:
         # raw rank counts SEEN CANDIDATES ranked above (the reference
         # walks the candidate list only, evaluate.py:95-97): that mask is
         # seen AND candidate = seen AND NOT notcand
-        rr_bitmap = seen_bitmap & ~notcand[None, :]
+        rr_bitmap = _andnot_bitmap(seen_dev, nc_dev)
         vals, idx, seen_above = _topk_excl(
             U, V, bias, excl, rr_bitmap, k, user_chunk, use_pallas,
         )
@@ -380,6 +390,16 @@ def evaluate_scores_device_full(
     inv[cand] = np.arange(len(cand), dtype=np.int32)
     idx = inv[np.clip(idx, 0, n_items - 1)]
     return _count_hits(idx, vals, seen_above, likes, len(cand), step, total)
+
+
+@jax.jit
+def _or_bitmap(seen: jax.Array, notcand: jax.Array) -> jax.Array:
+    return seen | notcand[None, :]
+
+
+@jax.jit
+def _andnot_bitmap(seen: jax.Array, notcand: jax.Array) -> jax.Array:
+    return seen & ~notcand[None, :]
 
 
 def _topk_excl(U, V, bias, excl_bitmap, rr_bitmap, k, user_chunk, use_pallas):
@@ -455,6 +475,7 @@ class DeviceEvaluator:
         self.user_chunk = user_chunk
         self.use_pallas = use_pallas
         self.want_rr = want_rr
+        self._seen_dev = None  # lazy device copy, shared across scenarios
 
     def evaluate(
         self,
@@ -465,11 +486,15 @@ class DeviceEvaluator:
         likes: Dict[int, Sequence[int]],
     ) -> EvalResult:
         cand_item_ids = np.asarray(cand_item_ids)
+        if self._seen_dev is None:
+            # ship the ~91 MB (MovieLens-scale) seen bitmap ONCE; each
+            # scenario ORs its tiny notcand words on device
+            self._seen_dev = jnp.asarray(self.seen_bitmap)
         return evaluate_scores_device_full(
             U,
             V,
             bias.reshape(-1) if bias is not None else None,
-            self.seen_bitmap,
+            self._seen_dev,
             cand_item_ids,
             likes,
             self.step,
