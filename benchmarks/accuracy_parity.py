@@ -405,6 +405,11 @@ def main():
     ap.add_argument("--root", default="/tmp/parity_fold")
     ap.add_argument("--quick", action="store_true",
                     help="small fold + short budgets (smoke test)")
+    ap.add_argument("--ml-scale", action="store_true",
+                    help="full MovieLens-scale fold (69,878 x 10,380, "
+                         "2,075 om items) — the VERDICT r4 #9 parity "
+                         "spot-check; pair with --models bpr (reference "
+                         "ALS at this scale is hours/seed)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -423,6 +428,23 @@ def main():
         )
         cfg = dict(k=24, bpr_epochs=3, bpr_limit=60_000, als_iters=60,
                    cer_iters=12, tol=1e-4, verbose=args.verbose)
+    elif args.ml_scale:
+        # exact MovieLens fold-0 dimensions (SURVEY §6: 69,878 users,
+        # 10,380 items, 2,075 om items); same planted-structure recipe,
+        # sparsity ~24 likes/user vs MovieLens' ~57. Budget = 2x the
+        # reference's own default epoch_sample_limit (train.py:3-6)
+        # because this fold's nnz is ~1.7M.
+        if args.out.endswith("accuracy_parity_results.json"):
+            args.out = args.out.replace(
+                "accuracy_parity_results.json",
+                "accuracy_parity_results_ml.json",
+            )
+        fold = make_parity_fold(
+            args.root, n_users=69878, n_items=10380, n_om=2075,
+            top_t=30, d=300,
+        )
+        cfg = dict(k=50, bpr_epochs=5, bpr_limit=2_000_000, als_iters=200,
+                   cer_iters=20, tol=1e-4, verbose=args.verbose)
     else:
         fold = make_parity_fold(args.root)
         nnz = len(fold["pos_u"])

@@ -1,0 +1,219 @@
+"""Full experiment-grid receipt (VERDICT r4 next #3): the reference's
+flagship workflow — a multi-modality × 5-fold grid plus all five fusion
+strategies — run end-to-end through ``experiment.run_experiment`` and the
+``fuse`` CLI at meaningful scale, with one cell cross-checked through the
+UNTOUCHED reference CLI.
+
+Mirrors: reference old/initialize.sh:1-3 (8-modality × 5-fold working
+dirs), old/methods/vbpr_train.py:17-26 (one model per modality),
+old/methods/test.py (per-cell eval + fold averaging), old/methods/
+{a,b,e,p,s}fusion.py (the five strategies).
+
+Dataset: 5 folds over one planted low-rank preference structure
+(20,000 users × 4,000 items, ~480K positives/fold), 4 content modalities
+of DIFFERENT quality (feature noise 0.15/0.3/0.5/0.8) so fusion weighting
+has signal to find. Model per cell: CER (content-aware, fusion-ready —
+the reference's own fusion inputs are CER runs, old/methods/efusion.py).
+
+Usage:
+  python benchmarks/experiment_grid.py [--root /tmp/grid] [--quick]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_CLI = "/root/reference/evaluate.py"
+
+MODALITY_NOISE = {"meta": 0.15, "tfidf": 0.3, "visual": 0.5, "audio": 0.8}
+
+
+def gen_dataset(root, n_users, n_items, n_om, top_t, d, folds, seed=0):
+    """Plant one low-rank structure; emit per-fold splits + modality
+    features in reference file formats."""
+    rng = np.random.default_rng(seed)
+    latent = 16
+    u_lat = rng.normal(size=(n_users, latent)) / np.sqrt(latent)
+    i_lat = rng.normal(size=(n_items, latent)) / np.sqrt(latent)
+    aff = u_lat @ i_lat.T + 0.4 * rng.normal(size=(n_users, n_items))
+    top = np.argpartition(-aff, top_t, axis=1)[:, :top_t]
+    del aff
+
+    os.makedirs(root, exist_ok=True)
+    uids = [f"u{i}" for i in range(n_users)]
+    vids = [f"v{i}" for i in range(n_items)]
+    with open(os.path.join(root, "uid"), "w") as f:
+        f.write("\n".join(uids) + "\n")
+    with open(os.path.join(root, "vid"), "w") as f:
+        f.write("\n".join(vids) + "\n")
+
+    for fold in folds:
+        frng = np.random.default_rng(100 + fold)
+        om_items = frng.choice(n_items, size=n_om, replace=False)
+        om_mask = np.zeros(n_items, bool)
+        om_mask[om_items] = True
+        tr_lines, im_test, om_test = [], {}, {}
+        tr_item_seen = np.zeros(n_items, bool)
+        for u in range(n_users):
+            liked = top[u]
+            om_liked = liked[om_mask[liked]]
+            im_liked = liked[~om_mask[liked]].copy()
+            frng.shuffle(im_liked)
+            cut = max(1, int(len(im_liked) * 0.8))
+            tr = im_liked[:cut]
+            tr_item_seen[tr] = True
+            tr_lines.append(
+                uids[u] + "," + ",".join(f"{vids[i]}:1" for i in tr)
+            )
+            if len(im_liked) > cut:
+                im_test[u] = im_liked[cut:].tolist()
+            if len(om_liked):
+                om_test[u] = om_liked.tolist()
+        with open(os.path.join(root, f"f{fold}tr.txt"), "w") as f:
+            f.write("\n".join(tr_lines) + "\n")
+        im_cand = np.nonzero(tr_item_seen)[0]
+        im_set = set(im_cand.tolist())
+        im_test = {
+            u: [i for i in its if i in im_set] for u, its in im_test.items()
+        }
+        im_test = {u: its for u, its in im_test.items() if its}
+        for scen, cand, test in (
+            ("im", im_cand, im_test),
+            ("om", np.sort(om_items), om_test),
+        ):
+            with open(os.path.join(root, f"f{fold}te.{scen}.idl"), "w") as f:
+                f.write("\n".join(vids[c] for c in cand) + "\n")
+            with open(os.path.join(root, f"f{fold}te.{scen}.txt"), "w") as f:
+                for u in sorted(test):
+                    f.write(
+                        uids[u] + ","
+                        + ",".join(f"{vids[x]}:1" for x in test[u]) + "\n"
+                    )
+
+    feats = {}
+    for name, noise in MODALITY_NOISE.items():
+        proj = rng.normal(size=(latent, d))
+        feats[name] = (
+            i_lat @ proj + noise * rng.normal(size=(n_items, d))
+        ).astype(np.float32)
+    return feats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/grid")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes (orchestration smoke; CPU-friendly)")
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "experiment_grid_results.json"))
+    args = ap.parse_args()
+
+    from topk_rec_tpu.cli import main as cli_main
+    from topk_rec_tpu.experiment import ExperimentSpec, run_experiment
+    from topk_rec_tpu.models import CER
+
+    if args.quick:
+        dims = dict(n_users=800, n_items=300, n_om=40, top_t=12, d=40)
+        k, iters = 12, 4
+    else:
+        dims = dict(n_users=20000, n_items=4000, n_om=400, top_t=30, d=300)
+        k, iters = 32, 10
+    folds = list(range(args.folds))
+
+    t0 = time.time()
+    feats = gen_dataset(args.root, folds=folds, **dims)
+    t_gen = time.time() - t0
+    print(f"dataset: {dims}, {len(folds)} folds, gen {t_gen:.1f}s",
+          flush=True)
+
+    out_root = os.path.join(args.root, "models")
+    spec = ExperimentSpec(
+        data_dir=args.root,
+        out_root=out_root,
+        model_factory=lambda modality, fold: CER(
+            k=k, d=dims["d"], lv=10.0, le=1e3, seed=fold,
+        ),
+        train_fn=lambda model, modality, fold: model.train(
+            max_iter=iters, verbose=False,
+        ),
+        modalities=feats,
+        folds=folds,
+        scenarios=("im", "om"),
+    )
+    t0 = time.time()
+    result = run_experiment(spec)
+    t_grid = time.time() - t0
+    n_cells = len(result["cells"])
+    print(f"grid: {n_cells} cells in {t_grid:.1f}s "
+          f"({t_grid / n_cells:.1f}s/cell)", flush=True)
+    for scen in ("im", "om"):
+        for m, acc in result["accuracy"][scen].items():
+            print(f"  {scen} {m}: acc@30={acc[-1]:.4f}", flush=True)
+
+    # all five fusion strategies over the per-modality dirs of fold 0,
+    # through the REAL fuse CLI surface
+    fold0_dirs = [
+        result["cells"][(m, 0)] for m in MODALITY_NOISE
+    ]
+    t_fuse = {}
+    for strat in ("average", "rank", "error", "svm", "bpr"):
+        argv = ["fuse", "--strategy", strat, "-d", args.root,
+                "-m", *fold0_dirs, "-f", "0", "-sl", "im", "om"]
+        if strat in ("svm", "bpr"):
+            argv += ["--n-samples", "100000" if args.quick else "1000000"]
+        t0 = time.time()
+        rc = cli_main(argv)
+        t_fuse[strat] = time.time() - t0
+        assert rc == 0, strat
+        print(f"fuse {strat}: {t_fuse[strat]:.1f}s", flush=True)
+
+    # cross-check one cell through the untouched reference CLI
+    cell_dir = result["cells"][("meta", 0)]
+    ref = subprocess.run(
+        [sys.executable, REFERENCE_CLI, "-d", args.root, "-m", cell_dir,
+         "-f", "0", "-sl", "im", "om"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert ref.returncode == 0, ref.stderr
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["evaluate", "-d", args.root, "-m", cell_dir,
+                  "-f", "0", "-sl", "im", "om"])
+    ours_lines = [l for l in buf.getvalue().splitlines()
+                  if l.startswith(("im,", "om,"))]
+    ref_lines = [l for l in ref.stdout.splitlines()
+                 if l.startswith(("im,", "om,"))]
+    assert ours_lines == ref_lines, (ours_lines, ref_lines)
+    print("reference-CLI cross-check: byte-identical (meta, fold 0)",
+          flush=True)
+
+    payload = {
+        "dims": dims, "folds": len(folds), "k": k, "cer_iters": iters,
+        "gen_s": round(t_gen, 1), "grid_s": round(t_grid, 1),
+        "s_per_cell": round(t_grid / n_cells, 2),
+        "fuse_s": {s: round(v, 1) for s, v in t_fuse.items()},
+        "accuracy": {
+            scen: {m: [round(float(x), 4) for x in acc]
+                   for m, acc in result["accuracy"][scen].items()}
+            for scen in ("im", "om")
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
