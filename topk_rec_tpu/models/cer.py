@@ -36,9 +36,13 @@ from .wmf import WMF
 def _ridge_direct(F: jax.Array, Y: jax.Array, lv: float, le: float) -> jax.Array:
     """E = (lv·FᵀF + le·I_d)⁻¹ · lv·Fᵀ·Y  (ref cer.py:27,64)."""
     d = F.shape[1]
-    FF = lv * jnp.dot(F.T, F, preferred_element_type=jnp.float32)
+    FF = lv * jnp.dot(F.T, F, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     FF = FF + le * jnp.eye(d, dtype=jnp.float32)
-    return jnp.linalg.solve(FF, lv * jnp.dot(F.T, Y))
+    return jnp.linalg.solve(
+        FF,
+        lv * jnp.dot(F.T, Y, precision=jax.lax.Precision.HIGHEST),
+    )
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -63,7 +67,8 @@ def _ridge_woodbury_cg(
 
     def matvec(X):
         return le * X + lv * jnp.dot(
-            G, X, preferred_element_type=jnp.float32
+            G, X, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     X = jnp.zeros_like(Y)
@@ -89,7 +94,10 @@ def _ridge_woodbury_cg(
 
     _, X, _, _, rs = jax.lax.while_loop(cond, body, (0, X, R, P, rs))
     rel = jnp.sqrt(jnp.max(rs / ys))
-    return lv * jnp.dot(F.T, X, preferred_element_type=jnp.float32), rel
+    return lv * jnp.dot(
+        F.T, X, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ), rel
 
 
 @jax.jit
@@ -102,7 +110,8 @@ def _ridge_woodbury_direct(
     n = G.shape[0]
     A = le * jnp.eye(n, dtype=jnp.float32) + lv * G
     return lv * jnp.dot(
-        F.T, jnp.linalg.solve(A, Y), preferred_element_type=jnp.float32
+        F.T, jnp.linalg.solve(A, Y), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -151,7 +160,8 @@ class CER(WMF):
         if self.d > self.n_items:
             if self._gram_items is None:
                 self._gram_items = jnp.dot(
-                    F, F.T, preferred_element_type=jnp.float32
+                    F, F.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             E, rel = _ridge_woodbury_cg(
                 F, self._gram_items, Y, self.lv, self.le,
@@ -219,7 +229,8 @@ class CER(WMF):
         for it in range(max_iter):
             t1 = time.time()
             # F·E on device (20 GFLOP on host NumPy at the reference scale)
-            Fe = jnp.dot(F, E_dev, preferred_element_type=jnp.float32)
+            Fe = jnp.dot(F, E_dev, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             # user sweep (lam=lu), then item sweep with content prior —
             # device-resident (as_numpy=False): the per-sweep host round
             # trips cost more than the sweeps' device work
@@ -268,7 +279,10 @@ class CER(WMF):
         self.fue = np.array(self.fue)
         self.fie = np.array(self.fie)
         # cold-start writeback (ref cer.py:70-73)
-        Fe = np.asarray(jnp.dot(F, E_dev, preferred_element_type=jnp.float32))
+        Fe = np.asarray(jnp.dot(
+            F, E_dev, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
         unrated = np.setdiff1d(
             np.arange(self.n_items), self.inter.rated_items
         )

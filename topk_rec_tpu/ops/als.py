@@ -34,11 +34,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Matmul precision for normal-equation ASSEMBLY (gram/selection dots).
+# DEFAULT (bf16 inputs) puts ~1e-2 relative error into A and the
+# prior-coupled CER/DPM alternation can amplify it to NaN (measured at a
+# 20K x 4K grid cell; CPU fp32 converged). HIGH = bf16_3x on TPU: ~fp32
+# product quality at half HIGHEST's passes (A-B'd below in BASELINE.md).
+_ALS_PRECISION = jax.lax.Precision.HIGH
+
 
 def gram_matrix(emb: jax.Array, rows: Optional[jax.Array] = None) -> jax.Array:
     """Eᵣᵀ Eᵣ over the selected rows (ref wmf.py:70-71 ``vr.T @ vr``)."""
     sel = emb[rows] if rows is not None else emb
-    return jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
+    return jnp.dot(sel.T, sel, preferred_element_type=jnp.float32,
+                   precision=_ALS_PRECISION)
 
 
 def batched_solve(A: jax.Array, rhs: jax.Array) -> jax.Array:
@@ -235,8 +243,20 @@ def _sweep_impl(
     vv = (other_emb[:, :, None] * other_emb[:, None, :]).reshape(
         n_other, k * k
     )
+    # Normal-equation ASSEMBLY runs at HIGHEST (true-fp32) matmul
+    # precision: on TPU the DEFAULT bf16 input rounding puts ~1e-2
+    # relative error into A's entries, and the prior-coupled CER/DPM
+    # alternation can AMPLIFY that noise run-away (observed: NaN tables
+    # at a 20K x 4K grid cell with informative features — CPU fp32
+    # converged, TPU bf16 diverged; benchmarks/experiment_grid.py).
+    # The solves were never the issue (batched_solve is fp32 with
+    # jittered pivots); it's the Gram/selection matmuls that must not
+    # round their inputs. Loss diagnostics below stay at DEFAULT.
     sel = other_emb * rated_mask[:, None]
-    gram_b = b * jnp.dot(sel.T, sel, preferred_element_type=jnp.float32)
+    gram_b = b * jnp.dot(
+        sel.T, sel, preferred_element_type=jnp.float32,
+        precision=_ALS_PRECISION,
+    )
     # route entities to their (possibly degree-balanced) block slots;
     # perm value n_this marks a padding slot -> zero row via fill
     old_stack = this_emb.at[perm].get(mode="fill", fill_value=0.0).reshape(
@@ -254,8 +274,14 @@ def _sweep_impl(
             .at[rows, cols]
             .add(1.0)[:block_size]
         )
-        P = jnp.dot(S, vv, preferred_element_type=jnp.float32)
-        sum_v = jnp.dot(S, other_emb, preferred_element_type=jnp.float32)
+        P = jnp.dot(
+            S, vv, preferred_element_type=jnp.float32,
+            precision=_ALS_PRECISION,
+        )
+        sum_v = jnp.dot(
+            S, other_emb, preferred_element_type=jnp.float32,
+            precision=_ALS_PRECISION,
+        )
         A_fit = gram_b[None, :, :] + (a - b) * P.reshape(block_size, k, k)
         A = A_fit + eye[None]
         rhs = a * sum_v
