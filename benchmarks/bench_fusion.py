@@ -171,15 +171,75 @@ def run_ref(args):
     return dt
 
 
+def run_ref_bprw(args):
+    """Reference-style bpr-fusion WEIGHT LEARNING divisor: the 10M-sample
+    pairwise SGD of reference old/methods/ranking_fusion.py:19-44
+    re-created as vectorized NumPy minibatch SGD (batch 10k, same loss
+    -sum log sigmoid(W.(s_i - s_j)) + lw/2 |W|^2, lr 1e-4). Favorable to
+    the reference: its real script runs Theano graphs sample-batch by
+    sample-batch over a pre-materialized score tensor; here the
+    per-batch score vectors are fresh vectorized einsums and the Python
+    loop only ticks once per 10k samples."""
+    from topk_rec_tpu.data.dataset import synthetic_interactions
+
+    rng = np.random.default_rng(0)
+    embeds = make_modalities(rng)
+    inter = synthetic_interactions(N_USERS, N_ITEMS, 4_000_000, seed=1)
+    indptr, flat = inter.user_csr
+    rated = inter.rated_users
+    bitmap = inter.pos_bitmap  # vectorized membership (favorable divisor)
+    n_samples, batch = 10_000_000, 10_000
+    lr, lw = 1.0e-4, 0.0025
+    w = np.zeros(F, dtype=np.float32)
+    t0 = time.time()
+    done = 0
+    while done < n_samples:
+        users = rated[rng.integers(0, len(rated), size=batch)]
+        r = rng.integers(0, np.diff(indptr)[users])
+        pos = flat[indptr[users] + r]
+        neg = rng.integers(0, N_ITEMS, size=batch)
+        # vectorized rejection fixup (reference sampling semantics)
+        while True:
+            hit = (bitmap[users, neg >> 5] >> (neg & 31)) & 1
+            bad = np.nonzero(hit)[0]
+            if not len(bad):
+                break
+            neg[bad] = rng.integers(0, N_ITEMS, size=len(bad))
+        d = np.empty((batch, F), np.float32)
+        for f, (U, V) in enumerate(embeds):
+            d[:, f] = np.einsum(
+                "bk,bk->b", U[users], V[pos] - V[neg]
+            )
+        x = d @ w
+        sig = 1.0 / (1.0 + np.exp(x))           # sigmoid(-x)
+        g = -(d * sig[:, None]).sum(axis=0) + lw * w
+        w -= lr * g
+        done += batch
+        if done % 1_000_000 == 0:
+            print(f"  ref bprw {done/1e6:.0f}M samples "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    dt = time.time() - t0
+    print(f"reference-style bpr-weight learn (10M samples, NumPy "
+          f"vectorized minibatch SGD, CPU): {dt:.1f} s", flush=True)
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--side", choices=("device", "ref"), default="device")
+    ap.add_argument(
+        "--side", choices=("device", "ref", "ref-bprw"), default="device"
+    )
     args = ap.parse_args()
     if args.side == "ref":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         run_ref(args)
+    elif args.side == "ref-bprw":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        run_ref_bprw(args)
     else:
         run_device(args)
 

@@ -230,60 +230,3 @@ def test_fused_xla_extract_tie_repair():
     want_vals, want_idx = _reference(U, V, None, mask, k)
     np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
-
-
-@pytest.mark.parametrize("n_u,n_i,d,k", [(64, 96, 16, 8), (130, 768, 20, 30)])
-def test_fused_packed_extract_matches_topk(n_u, n_i, d, k):
-    """extract='packed' (single-reduction packed-word rounds + XLA-side
-    exact value recovery) must equal lax.top_k exactly."""
-    rng = np.random.default_rng(7)
-    U = rng.normal(size=(n_u, d)).astype(np.float32)
-    V = rng.normal(size=(n_i, d)).astype(np.float32)
-    bias = rng.normal(size=n_i).astype(np.float32)
-    mask = (rng.random((n_u, n_i)) < 0.2).astype(np.int8)
-    vals, idx = fused_score_topk(
-        jnp.asarray(U), jnp.asarray(V), jnp.asarray(bias), jnp.asarray(mask),
-        k, block_u=32, block_i=128, interpret=True, extract="packed",
-    )
-    want_vals, want_idx = _reference(U, V, bias, mask, k)
-    np.testing.assert_array_equal(np.asarray(idx), want_idx)
-    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5)
-
-
-def test_fused_packed_extract_quantization_ties():
-    """Scores engineered to collide in the top-16 monotonic bits (many
-    values inside one quantum) force the packed path's boundary trigger;
-    results must STILL equal lax.top_k via the suspect re-rank."""
-    rng = np.random.default_rng(8)
-    n_u, n_i, d, k = 16, 512, 8, 10
-    U = np.ones((n_u, d), np.float32)
-    # V rows nearly identical => scores differ only in low mantissa bits
-    V = (np.ones((n_i, d)) + 1e-6 * rng.normal(size=(n_i, d))).astype(
-        np.float32
-    )
-    mask = np.zeros((n_u, n_i), np.int8)
-    vals, idx = fused_score_topk(
-        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
-        k, block_u=8, block_i=128, interpret=True, extract="packed",
-    )
-    want_vals, want_idx = _reference(U, V, None, mask, k)
-    np.testing.assert_array_equal(np.asarray(idx), want_idx)
-    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
-
-
-def test_fused_packed_extract_overflow_rows():
-    """Rows with fewer than k unseen candidates (float32.min quantum
-    selections) return the same sentinels as the serial path."""
-    rng = np.random.default_rng(9)
-    U = rng.normal(size=(8, 4)).astype(np.float32)
-    V = rng.normal(size=(10, 4)).astype(np.float32)
-    mask = np.zeros((8, 10), np.int8)
-    mask[0, :] = 1
-    mask[0, 3] = 0
-    vals, idx = fused_score_topk(
-        jnp.asarray(U), jnp.asarray(V), None, jnp.asarray(mask),
-        5, block_u=8, block_i=128, interpret=True, extract="packed",
-    )
-    vals = np.asarray(vals)
-    assert np.asarray(idx)[0, 0] == 3
-    assert (vals[0, 1:] == np.finfo(np.float32).min).all()

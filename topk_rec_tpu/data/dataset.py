@@ -182,7 +182,10 @@ def synthetic_interactions(
     pos_i = np.empty(n_pos, dtype=np.int32)
     count = 0
     while count < n_pos:
-        batch = max(1024, (n_pos - count) * 2)
+        # cap the draw batch: the [batch, n_items] affinity is the
+        # memory hog (an uncapped (n_pos-count)*2 draw at 4M positives x
+        # 10K items asked for 619 GB)
+        batch = min(65536, max(1024, (n_pos - count) * 2))
         us = rng.integers(0, n_users, size=batch)
         aff = u_lat[us] @ i_lat.T + noise * rng.normal(size=(batch, n_items))
         its = np.argmax(aff + rng.gumbel(size=aff.shape), axis=1)

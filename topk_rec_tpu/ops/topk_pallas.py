@@ -110,22 +110,10 @@ _REGROUP_DEPTH = 4
 _REGROUP_MAX_K = 48
 
 
-# x-space (int32-orderable packed word) constant for the float32.min
-# quantum's top-16 field: rows whose k-th selected value sits at or below
-# this boundary may contain masked/padding selections and join the
-# suspect set (matches the existing fewer-than-k-candidates behavior).
-_NEGQ_X = int(np.int32(
-    ((~np.array(NEG_INF, np.float32).view(np.uint32)) & np.uint32(0xFFFF0000))
-    ^ np.uint32(0x80000000)
-))  # == -2139095040
-_F32_MAX = float(np.finfo(np.float32).max)
-
-
 def _kernel(
     u_ref, v_ref, b_ref, m_ref, out_v_ref, out_i_ref, out_trig_ref,
     cand_v, cand_i, run_m4,
     *, k: int, exact_matmul: bool, emit_buffers: bool = False,
-    packed_rounds: bool = False,
 ):
     j = pl.program_id(1)
 
@@ -339,84 +327,6 @@ def _kernel(
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (tu, _RUN_LANES), 1)
         int_max = jnp.int32(2**31 - 1)
 
-        if packed_rounds:
-            # v5 experiment (VERDICT r4 next #2): pack each candidate
-            # into ONE int32-orderable word — monotonic-fp32 top-16 score
-            # bits high, inverted column low — so every extraction round
-            # is a SINGLE cross-lane max (the serial rounds pay two:
-            # max + position-resolve min). Selection returns indices
-            # only; exact fp32 values are recomputed on the XLA side
-            # from the selected (row, col) pairs (_fused_call). The
-            # 16-bit score quantization cannot corrupt membership
-            # silently: with q16(remaining-max) strictly below q16(k-th)
-            # every unselected monotonic word is strictly below every
-            # selected one (both are floor-multiples of 2^16); boundary
-            # equality fires the suspect trigger, as do rows whose k-th
-            # sits in the float32.min quantum (masked/padding
-            # selections — same rows the serial path already suspects).
-            vb = jax.lax.bitcast_convert_type(comb_v0, jnp.uint32)
-            sign_ext = jnp.where(
-                (vb >> jnp.uint32(31)) != 0,
-                jnp.uint32(0xFFFFFFFF),
-                jnp.uint32(0x80000000),
-            )
-            mono = vb ^ sign_ext
-            colinv = jnp.uint32(0xFFFF) - comb_i.astype(jnp.uint32)
-            packed_u = (mono & jnp.uint32(0xFFFF0000)) | colinv
-            px = jax.lax.bitcast_convert_type(
-                packed_u ^ jnp.uint32(0x80000000), jnp.int32
-            )
-            sent = jnp.int32(-(2**31))
-            qmask = jnp.int32(np.int32(np.uint32(0xFFFF0000)))
-
-            def select_packed(kk, carry):
-                px, new_i, pk = carry
-                p = jnp.max(px, axis=1, keepdims=True)
-                col = jnp.int32(0xFFFF) - (p & jnp.int32(0xFFFF))
-                put = out_lane == kk
-                new_i = jnp.where(
-                    put, jnp.broadcast_to(col, new_i.shape), new_i
-                )
-                pk = jnp.where(kk == k - 1, p, pk)
-                px = jnp.where(px == p, sent, px)
-                return px, new_i, pk
-
-            px, new_i, pk = jax.lax.fori_loop(
-                0,
-                k,
-                select_packed,
-                (
-                    px,
-                    jnp.zeros((tu, _RUN_LANES), jnp.int32),
-                    jnp.full((tu, 1), sent, jnp.int32),
-                ),
-            )
-            p_rem = jnp.max(px, axis=1, keepdims=True)
-            extra = ((p_rem & qmask) >= (pk & qmask)) | (
-                (pk & qmask) <= jnp.int32(_NEGQ_X)
-            )
-            # k-th quantum FLOOR back to f32 (<= true k-th): the XLA-side
-            # suspect compare uses it instead of the recomputed k-th so
-            # matmul nondeterminism can only ADD suspects, never lose one
-            pk_u = jax.lax.bitcast_convert_type(
-                pk, jnp.uint32
-            ) ^ jnp.uint32(0x80000000)
-            mono16 = pk_u & jnp.uint32(0xFFFF0000)
-            bbits = jnp.where(
-                (mono16 & jnp.uint32(0x80000000)) != 0,
-                mono16 ^ jnp.uint32(0x80000000),
-                ~mono16,
-            )
-            kq = jax.lax.bitcast_convert_type(bbits, jnp.float32)
-            out_v_ref[:] = jnp.broadcast_to(kq, (tu, _RUN_LANES))
-            out_i_ref[:] = new_i
-            out_trig_ref[:] = jnp.where(
-                jnp.broadcast_to(extra, trig.shape),
-                jnp.float32(_F32_MAX),
-                trig,
-            )
-            return
-
         def select_one(kk, carry):
             comb_v, new_v, new_i = carry
             # max, masked-min argmax (lowest item index among ties —
@@ -468,8 +378,7 @@ def _fused_call(
         else _RUN_LANES
     out_v, out_i, out_trig = pl.pallas_call(
         functools.partial(
-            _kernel, k=k, exact_matmul=exact_matmul, emit_buffers=emit,
-            packed_rounds=extract == "packed",
+            _kernel, k=k, exact_matmul=exact_matmul, emit_buffers=emit
         ),
         grid=grid,
         in_specs=[
@@ -527,27 +436,6 @@ def _fused_call(
             out_trig,
             jnp.where(tie_any, jnp.inf, -jnp.inf)[:, None],
         )
-    elif extract == "packed":
-        # indices came from the packed rounds; recover EXACT fp32 values
-        # with one row-gather + batched dot (cheap: n_u*k rows of V), and
-        # restore lax.top_k's exact (value desc, index asc) order with a
-        # k-wide lexicographic sort. Correctness of the k-SET is the
-        # kernel's quantized-boundary argument; rows at the boundary (or
-        # in the float32.min quantum) arrive with trig = f32max and are
-        # re-ranked exactly below.
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if exact_matmul
-            else jax.lax.Precision.DEFAULT
-        )
-        idx = out_i[:, :k]
-        vg = V[idx]
-        vals = jnp.einsum(
-            "ud,ukd->uk", U, vg,
-            precision=prec, preferred_element_type=jnp.float32,
-        ) + bias.reshape(-1)[idx]
-        nv, idx = jax.lax.sort((-vals, idx), dimension=1, num_keys=2)
-        vals = -nv
     else:
         vals = out_v[:, :k]
         idx = out_i[:, :k]
@@ -565,11 +453,7 @@ def _fused_call(
     # exactness patch: rows where an invisible value (4th-in-group at the
     # tile stats, or 5th-in-lane-class at the regroup) could outrank the
     # returned k-th (ties included via >=) are re-ranked by full top_k.
-    # packed mode compares against the kernel's k-th QUANTUM FLOOR
-    # (out_v lane 0, <= the true k-th) so any matmul nondeterminism in
-    # the XLA-side value recovery can only add suspects, never hide one.
-    kth_ref = out_v[:, 0] if extract == "packed" else vals[:, k - 1]
-    suspect = out_trig[:, 0] >= kth_ref
+    suspect = out_trig[:, 0] >= vals[:, k - 1]
     n_suspect = jnp.sum(suspect.astype(jnp.int32))
     # depth-3 visibility: quadruple-collision suspects ~0.05% of rows at
     # the serving shape (vs 3.5% at depth 2); the default 1/64 capacity is
