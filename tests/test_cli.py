@@ -517,3 +517,21 @@ def test_console_entry_point_declared():
 
     fn = getattr(importlib.import_module(mod), attr)
     assert callable(fn)
+
+
+def test_train_membership_flag(fold_dir, tmp_path, capsys):
+    """--membership sorted trains identically to the default (same seed
+    => byte-identical triplets, ops/sampling.py contract)."""
+    outs = {}
+    for mem in ("bitmap", "sorted"):
+        out = str(tmp_path / f"m_{mem}")
+        rc = main([
+            "train", "--model", "bpr", "-d", str(fold_dir), "-o", out,
+            "--k", "8", "--epochs", "1", "--batch-size", "64",
+            "--membership", mem,
+        ])
+        assert rc == 0
+        from topk_rec_tpu.data.io import read_dat
+
+        outs[mem] = read_dat(os.path.join(out, "final-U.dat"))
+    np.testing.assert_array_equal(outs["bitmap"], outs["sorted"])

@@ -188,14 +188,14 @@ def build_model(mc: ModelConfig, mesh=None):
         return BPR(
             k=mc.k, lambda_u=mc.lambda_u, lambda_i=mc.lambda_i,
             lambda_j=mc.lambda_j, lambda_b=mc.lambda_b, lr=mc.lr,
-            mode=mc.mode, seed=mc.seed,
+            mode=mc.mode, seed=mc.seed, membership=mc.membership,
         )
     if name == "vbpr":
         return VBPR(
             k=mc.k, d=mc.d, lambda_u=mc.lambda_u,
             lambda_i=mc.lambda_i, lambda_j=mc.lambda_j,
             lambda_b=mc.lambda_b, lambda_e=mc.lambda_e, lr=mc.lr,
-            mode=mc.mode, seed=mc.seed,
+            mode=mc.mode, seed=mc.seed, membership=mc.membership,
         )
     if name == "wmf":
         return WMF(
@@ -376,7 +376,7 @@ def cmd_train(args) -> int:
             als_lu=args.als_lu,
             als_lv=args.als_lv_wmf if args.model_name == "wmf" else args.als_lv,
             als_le=args.als_le, als_a=args.als_a, als_b=args.als_b,
-            seed=args.seed,
+            seed=args.seed, membership=args.membership,
         ),
         out_dir=args.out,
         epochs=args.epochs,
@@ -589,6 +589,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--als-a", type=float, default=_MC.als_a)
     pt.add_argument("--als-b", type=float, default=_MC.als_b)
     pt.add_argument("--seed", type=int, default=_MC.seed)
+    pt.add_argument(
+        "--membership", default=_MC.membership,
+        choices=["auto", "bitmap", "sorted"],
+        help="negative-sampling membership store (auto switches to the "
+             "catalog-size-independent sorted-CSR probe when the dense "
+             "bitmap would exceed ~1 GiB)",
+    )
     pt.add_argument("--warm-start", default=_TC.warm_start)
     pt.add_argument("--log-dir", default=_TC.log_dir,
                     help="write state.log/settings.txt here (ALS models)")

@@ -46,6 +46,9 @@ class ModelConfig:
     als_a: float = 1.0
     als_b: float = 0.01
     seed: int = 0
+    # negative-membership store for the pairwise samplers:
+    # auto | bitmap | sorted (ops/sampling.py TripletSampler)
+    membership: str = "auto"
 
 
 @dataclass
