@@ -51,6 +51,26 @@ def make_modalities(rng):
     return embeds
 
 
+def make_interactions():
+    """Zipf-skewed fold at MovieLens scale (bench.py recipe): the fusion
+    benches only need a realistic seen bitmap / degree distribution, and
+    the planted-structure generator costs ~30 min of host time at 4M
+    positives while this takes ~13 s."""
+    from topk_rec_tpu.data.dataset import Interactions
+
+    rng = np.random.default_rng(1)
+    draw = int(4_000_000 * 1.3)
+    uu = rng.integers(0, N_USERS, size=draw).astype(np.int64)
+    ii = ((rng.zipf(1.1, size=draw) - 1) % N_ITEMS).astype(np.int64)
+    key = np.unique(uu * N_ITEMS + ii)
+    rng.shuffle(key)
+    key = key[:4_000_000]
+    return Interactions(
+        N_USERS, N_ITEMS,
+        (key // N_ITEMS).astype(np.int32), (key % N_ITEMS).astype(np.int32),
+    )
+
+
 def make_likes(rng, n_liked_users=20_000):
     users = rng.choice(N_USERS, size=n_liked_users, replace=False)
     return {
@@ -63,7 +83,6 @@ def run_device(args):
     import jax
     import jax.numpy as jnp
 
-    from topk_rec_tpu.data.dataset import synthetic_interactions
     from topk_rec_tpu.fusion import (
         ModalityScores,
         average_weights,
@@ -77,7 +96,7 @@ def run_device(args):
 
     rng = np.random.default_rng(0)
     embeds = make_modalities(rng)
-    inter = synthetic_interactions(N_USERS, N_ITEMS, 4_000_000, seed=1)
+    inter = make_interactions()
     likes = make_likes(rng)
     cand_ids = np.sort(
         rng.choice(N_ITEMS, size=N_CAND, replace=False)
@@ -180,11 +199,9 @@ def run_ref_bprw(args):
     sample-batch over a pre-materialized score tensor; here the
     per-batch score vectors are fresh vectorized einsums and the Python
     loop only ticks once per 10k samples."""
-    from topk_rec_tpu.data.dataset import synthetic_interactions
-
     rng = np.random.default_rng(0)
     embeds = make_modalities(rng)
-    inter = synthetic_interactions(N_USERS, N_ITEMS, 4_000_000, seed=1)
+    inter = make_interactions()
     indptr, flat = inter.user_csr
     rated = inter.rated_users
     bitmap = inter.pos_bitmap  # vectorized membership (favorable divisor)
