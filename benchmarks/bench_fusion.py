@@ -130,26 +130,36 @@ def run_device(args):
     t_avg = timed_eval("average", w_avg)
     timed_eval("rank(p=0.5)", rank_geometric_weights(F, 0.5))
 
-    t0 = time.time()
-    w_err = error_weights(modalities, inter, cand_ids)
-    t_errw = time.time() - t0
-    print(f"device error-weight learn: {t_errw:.2f} s (per-user weights)",
-          flush=True)
+    def timed_fit(name, fn, detail):
+        # first call carries the XLA compile; the warm second call is
+        # the steady-state number (a production grid fits weights per
+        # fold x scenario with one compiled program)
+        t0 = time.time()
+        w = fn()
+        cold = time.time() - t0
+        t0 = time.time()
+        w = fn()
+        warm = time.time() - t0
+        print(f"device {name}-weight learn: {warm:.2f} s warm / "
+              f"{cold:.2f} s incl. compile ({detail})", flush=True)
+        return w
+
+    w_err = timed_fit(
+        "error", lambda: error_weights(modalities, inter, cand_ids),
+        "per-user weights",
+    )
     timed_eval("error", w_err)
 
-    t0 = time.time()
-    w_svm = svm_fusion_weights(modalities, inter, seed=2)
-    t_svmw = time.time() - t0
-    print(f"device svm-weight learn:   {t_svmw:.2f} s (100k pairs)",
-          flush=True)
+    w_svm = timed_fit(
+        "svm", lambda: svm_fusion_weights(modalities, inter, seed=2),
+        "100k pairs",
+    )
     timed_eval("svm", w_svm)
 
-    t0 = time.time()
-    w_bpr = bpr_fusion_weights(modalities, inter, seed=3)
-    t_bprw = time.time() - t0
-    print(f"device bpr-weight learn:   {t_bprw:.2f} s "
-          f"(10M samples — reference ranking_fusion.py:44 budget)",
-          flush=True)
+    w_bpr = timed_fit(
+        "bpr", lambda: bpr_fusion_weights(modalities, inter, seed=3),
+        "10M samples — reference ranking_fusion.py:44 budget",
+    )
     timed_eval("bpr", w_bpr)
     return t_avg
 

@@ -155,27 +155,35 @@ def error_weights(
     cand_ids = np.asarray(cand_ids)
     n_users = modalities.n_users
     F = modalities.n_feats
-    # like matrix in candidate space via the positive bitmap
-    bm = inter.pos_bitmap
-    cw = (cand_ids >> 5).astype(np.int32)
-    cb = (cand_ids & 31).astype(np.uint32)
+    # like matrix in candidate space, expanded from the packed positive
+    # bitmap ON DEVICE: the previous host expansion built and SHIPPED a
+    # [chunk, n_cand] float32 like-matrix per chunk (~2.3 GB of tunnel
+    # traffic across MovieLens-scale chunks — measured 77 s total); the
+    # packed words ship once (~91 MB) and each chunk expands in-VMEM.
+    bm_dev = jnp.asarray(inter.pos_bitmap)
+    cw_dev = jnp.asarray((cand_ids >> 5).astype(np.int32))
+    cb_dev = jnp.asarray((cand_ids & 31).astype(np.uint32))
     cand_dev = jnp.asarray(cand_ids)
 
     @jax.jit
-    def chunk_weights(stack, like):
-        # stack [CU, n_cand, F], like [CU, n_cand]
+    def chunk_weights(stack, bm_rows):
+        # stack [CU, n_cand, F]; bm_rows [CU, n_words] packed likes
+        like = ((bm_rows[:, cw_dev] >> cb_dev[None, :]) & 1).astype(
+            jnp.float32
+        )
         sq = (stack - like[:, :, None]) ** 2 * like[:, :, None]
         svec = jnp.maximum(jnp.sum(like, axis=1), 1.0)
         return jnp.sqrt(jnp.sum(sq, axis=1) / svec[:, None])
 
     weight = np.zeros((n_users, F), dtype=np.float32)
+    pending = []
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
-        like = ((bm[start:stop][:, cw] >> cb[None, :]) & 1).astype(np.float32)
         stack = modalities.chunk_stack(start, stop, cand_dev)
-        weight[start:stop] = np.asarray(
-            chunk_weights(stack, jnp.asarray(like))
-        )
+        # dispatch all chunks async; fetch once (tunnel RTT amortized)
+        pending.append((start, stop, chunk_weights(stack, bm_dev[start:stop])))
+    for start, stop, out in pending:
+        weight[start:stop] = np.asarray(out)[: stop - start]
     wmean = weight.mean(axis=1, keepdims=True)
     nz = (wmean != 0).reshape(-1)
     weight[nz] = np.exp(-(weight[nz] - wmean[nz]))
@@ -245,6 +253,56 @@ def svm_fusion_weights(
     return np.asarray(w)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_chunks", "F", "n_batches", "batch_size"),
+)
+def _fusion_build_d(Ucat, Vcat, u, i, j, n_chunks, F, n_batches, batch_size):
+    """Score-difference precompute for the bpr-fusion fit: chunked big
+    row-gathers over the CONCATENATED modality tables. Module-level jit
+    taking the tables as ARGUMENTS — defining jits inside the fit
+    function retraced + recompiled per call with the tables baked in as
+    constants (measured 37-46 s "warm"; this is the lookup.py
+    _cached_jit lesson applied again)."""
+    total = u.shape[0]
+    gchunk = total // n_chunks
+    k_dim = Ucat.shape[1] // F
+
+    def build_d(_, idxs):
+        uu, ii, jj = idxs
+        g = Ucat[uu] * (Vcat[ii] - Vcat[jj])   # [gchunk, F*k]
+        d = jnp.sum(g.reshape(gchunk, F, k_dim), axis=2)
+        return None, d
+
+    _, d_all = jax.lax.scan(
+        build_d,
+        None,
+        (
+            u.reshape(n_chunks, gchunk),
+            i.reshape(n_chunks, gchunk),
+            j.reshape(n_chunks, gchunk),
+        ),
+    )
+    return d_all.reshape(n_batches, batch_size, F)
+
+
+@jax.jit
+def _fusion_sgd(d_all, w0, lr, lambda_w):
+    """Minibatch SGD over precomputed score-difference batches
+    (ref ranking_fusion.py:28-37 loss)."""
+
+    def step(w, d):
+        def cost(w_):
+            return -jnp.sum(
+                jax.nn.log_sigmoid(d @ w_)
+            ) + 0.5 * lambda_w * jnp.sum(w_**2)
+
+        g = jax.grad(cost)(w)
+        return w - lr * g, cost(w)
+
+    return jax.lax.scan(step, w0, d_all)
+
+
 def bpr_fusion_weights(
     modalities: ModalityScores,
     inter: Interactions,
@@ -266,38 +324,35 @@ def bpr_fusion_weights(
     F = modalities.n_feats
     n_batches = max(1, n_samples // batch_size)
 
-    U = modalities._U
-    V = modalities._V
+    # d-precompute chunking: few LARGE gathers beat many small ones (the
+    # gather cost on TPU is per-op + per-index, not per-byte)
+    total = n_batches * batch_size
+    n_gather_chunks = max(1, min(n_batches, 40))
+    while total % n_gather_chunks:
+        n_gather_chunks -= 1
 
-    @jax.jit
-    def run(key, w0):
-        def gather_diff(u, i, j):
-            cols = []
-            for Uf, Vf in zip(U, V):
-                cols.append(jnp.sum(Uf[u] * (Vf[i] - Vf[j]), axis=1))
-            return jnp.stack(cols, axis=-1)
-
-        def step(carry, step_key):
-            w = carry
-            u, i, j = sampler_fn(step_key)
-            d = gather_diff(u, i, j)
-
-            # cost = −Σ log σ(W·d) + λ/2 ‖W‖² (ref ranking_fusion.py:28-37)
-            def cost(w_):
-                return -jnp.sum(jax.nn.log_sigmoid(d @ w_)) + 0.5 * lambda_w * jnp.sum(w_**2)
-
-            g = jax.grad(cost)(w)
-            return w - lr * g, cost(w)
-
-        keys = jax.random.split(key, n_batches)
-        w, costs = jax.lax.scan(step, w0, keys)
-        return w, costs
-
-    def sampler_fn(step_key):
-        return sampler(step_key, batch_size)
-
+    # TPU scheduling (three measured rewrites, BASELINE.md fusion
+    # section): the score-difference vectors d do NOT depend on w, so
+    # sampling + gathers + per-modality dots are hoisted out of the
+    # sequential SGD chain; the 8 modality tables are CONCATENATED once
+    # ([n, F*k]) so each precompute chunk issues 3 big row-gathers
+    # instead of 24 small ones; and sampling, gathering, and SGD run as
+    # THREE separate jit calls handing device arrays over — fused into
+    # one program, XLA rematerializes the upstream stage inside the
+    # downstream scan (the 10M-triplet sample was recomputed per gather
+    # chunk: pieces costing 0.8 s + 0.5 s + 8.5 ms standalone measured
+    # 45-120 s fused, depending on the fusion shape). Jit boundaries
+    # are the reliable barrier.
     key = jax.random.PRNGKey(seed)
-    w, _ = run(key, jnp.zeros(F, dtype=jnp.float32))
+    u, i, j = sampler(key, total)  # sampler is its own jitted program
+    Ucat = jnp.concatenate(modalities._U, axis=1)   # [n_users, F*k]
+    Vcat = jnp.concatenate(modalities._V, axis=1)   # [n_items, F*k]
+    d_all = _fusion_build_d(
+        Ucat, Vcat, u, i, j, n_gather_chunks, F, n_batches, batch_size
+    )
+    w, _ = _fusion_sgd(
+        d_all, jnp.zeros(F, dtype=jnp.float32), lr, lambda_w
+    )
     return np.asarray(w)
 
 
