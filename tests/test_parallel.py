@@ -278,3 +278,17 @@ def test_bpr_trainer_exchange_auto_single_process(small_inter):
 
     loss = tr.train_chunk(jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_distributed_rejects_sorted_membership(small_inter):
+    """Mesh training shards the bitmap store; a sorted-store model gets
+    a clear error instead of an AttributeError deep in setup."""
+    import pytest
+
+    from topk_rec_tpu.models import BPR
+
+    mesh = make_mesh(dp=4, mp=2)
+    m = BPR(k=8, seed=0, membership="sorted")
+    m.set_interactions(small_inter)
+    with pytest.raises(ValueError, match="membership='bitmap'"):
+        DistributedBPRTrainer(m, mesh)
