@@ -51,7 +51,11 @@ def bench_bpr(inter, membership, batch_size, scan_steps, n_chunks=8,
     import jax
 
     from topk_rec_tpu.models import BPR
-    from topk_rec_tpu.models.bpr import _train_chunk, _FUSED_LAYOUT_MIN_BATCH
+    from topk_rec_tpu.models.bpr import (
+        _train_chunk,
+        _FUSED_LAYOUT_MAX_ROWS,
+        _FUSED_LAYOUT_MIN_BATCH,
+    )
 
     model = BPR(k=50, seed=0, membership=membership)
     model.set_interactions(inter)
@@ -60,8 +64,13 @@ def bench_bpr(inter, membership, batch_size, scan_steps, n_chunks=8,
     assert s.membership == membership, (s.membership, membership)
     hyper = {"lu": model.lu, "li": model.li, "lj": model.lj,
              "lb": model.lb, "lr": model.lr}
+    # mirror BPR.train's auto predicate exactly (incl. the row cap) so
+    # the bench measures the layout production actually picks;
+    # table_layout='fused'/'separate' pin it for A-Bs
     fused = (table_layout == "fused") or (
-        table_layout == "auto" and batch_size >= _FUSED_LAYOUT_MIN_BATCH
+        table_layout == "auto"
+        and batch_size >= _FUSED_LAYOUT_MIN_BATCH
+        and inter.n_users + inter.n_items <= _FUSED_LAYOUT_MAX_ROWS
     )
     store = s.pos_bitmap if membership == "bitmap" else s.flat_sorted
 

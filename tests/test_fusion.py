@@ -174,3 +174,32 @@ def test_evaluate_fused_want_rr(modal_setup):
     np.testing.assert_array_equal(res_rr.hits, oracle.hits)
     np.testing.assert_allclose(res_rr.rr, oracle.rr, rtol=1e-6)
     np.testing.assert_array_equal(res_norr.hits, oracle.hits)
+
+
+def test_bpr_fusion_heterogeneous_k():
+    """Modalities with DIFFERENT embedding widths must fuse correctly
+    (the concat-table precompute reduces per-modality column segments;
+    a uniform reshape would silently mix columns across modalities)."""
+    from topk_rec_tpu.data.dataset import synthetic_interactions
+    from topk_rec_tpu.fusion import ModalityScores, bpr_fusion_weights
+
+    rng = np.random.default_rng(4)
+    n_u, n_i = 120, 80
+    inter = synthetic_interactions(n_u, n_i, 1500, seed=5)
+    # modality 0 (k=6) encodes real preference structure; modality 1
+    # (k=11, different width) is noise — the learned weight must favor 0
+    u_lat = rng.normal(size=(n_u, 6)).astype(np.float32)
+    i_lat = rng.normal(size=(n_i, 6)).astype(np.float32)
+    # align modality 0 with the actual interactions: bump liked dots
+    U0 = u_lat.copy()
+    V0 = i_lat.copy()
+    for u, i in zip(inter.pos_u.tolist(), inter.pos_i.tolist()):
+        V0[i] += 0.05 * U0[u]
+    U1 = rng.normal(size=(n_u, 11)).astype(np.float32)
+    V1 = rng.normal(size=(n_i, 11)).astype(np.float32)
+    m = ModalityScores([(U0, V0), (U1, V1)])
+    w = bpr_fusion_weights(m, inter, n_samples=40_000, batch_size=2_000,
+                           lr=0.01, seed=0)
+    assert w.shape == (2,)
+    assert np.all(np.isfinite(w))
+    assert w[0] > w[1], w  # informative modality wins

@@ -145,3 +145,42 @@ def test_native_parse_dat_matches_python(tmp_path):
         f.write("1.0 2.0 \n3.0 \n")
     with pytest.raises(ValueError, match="malformed"):
         read_dat(p4)
+
+
+def test_native_parse_dat_blank_line_parity(tmp_path):
+    """Blank-line row accounting must match the Python spec path exactly
+    (interior/leading blanks fail rectangularity IDENTICALLY whether or
+    not the .so is built; trailing blanks and a missing final newline
+    parse identically)."""
+    import pytest
+
+    import topk_rec_tpu.data.io as io_mod
+    from topk_rec_tpu.data.io import read_dat
+    from topk_rec_tpu.native import io_native
+
+    if not io_native.available():
+        pytest.skip("native lib not built")
+
+    cases = {
+        "interior_blank": "1.0 2.0\n\n3.0 4.0\n",
+        "leading_blank": "\n1.0 2.0\n",
+        "trailing_blanks": "1.0 2.0 \n3.0 4.0 \n\n\n",
+        "no_final_newline": "1.0 2.0 \n3.0 4.0",
+    }
+    for name, content in cases.items():
+        p = str(tmp_path / f"{name}.dat")
+        with open(p, "w") as f:
+            f.write(content)
+
+        def attempt(use_native):
+            orig = io_mod._native_lib
+            if not use_native:
+                io_mod._native_lib = lambda: None
+            try:
+                return ("ok", read_dat(p).tolist())
+            except ValueError:
+                return ("err",)
+            finally:
+                io_mod._native_lib = orig
+
+        assert attempt(True) == attempt(False), name

@@ -255,23 +255,33 @@ def svm_fusion_weights(
 
 @partial(
     jax.jit,
-    static_argnames=("n_chunks", "F", "n_batches", "batch_size"),
+    static_argnames=("n_chunks", "widths", "n_batches", "batch_size"),
 )
-def _fusion_build_d(Ucat, Vcat, u, i, j, n_chunks, F, n_batches, batch_size):
+def _fusion_build_d(Ucat, Vcat, u, i, j, n_chunks, widths, n_batches,
+                    batch_size):
     """Score-difference precompute for the bpr-fusion fit: chunked big
     row-gathers over the CONCATENATED modality tables. Module-level jit
     taking the tables as ARGUMENTS — defining jits inside the fit
     function retraced + recompiled per call with the tables baked in as
     constants (measured 37-46 s "warm"; this is the lookup.py
-    _cached_jit lesson applied again)."""
+    _cached_jit lesson applied again). ``widths`` (static tuple) carries
+    each modality's embedding width so heterogeneous-k modality sets
+    reduce the right column segments (a uniform reshape would silently
+    mix columns across modalities)."""
     total = u.shape[0]
     gchunk = total // n_chunks
-    k_dim = Ucat.shape[1] // F
+    offsets = np.concatenate([[0], np.cumsum(widths)])
 
     def build_d(_, idxs):
         uu, ii, jj = idxs
-        g = Ucat[uu] * (Vcat[ii] - Vcat[jj])   # [gchunk, F*k]
-        d = jnp.sum(g.reshape(gchunk, F, k_dim), axis=2)
+        g = Ucat[uu] * (Vcat[ii] - Vcat[jj])   # [gchunk, sum(widths)]
+        d = jnp.stack(
+            [
+                jnp.sum(g[:, offsets[f] : offsets[f + 1]], axis=1)
+                for f in range(len(widths))
+            ],
+            axis=-1,
+        )
         return None, d
 
     _, d_all = jax.lax.scan(
@@ -283,7 +293,7 @@ def _fusion_build_d(Ucat, Vcat, u, i, j, n_chunks, F, n_batches, batch_size):
             j.reshape(n_chunks, gchunk),
         ),
     )
-    return d_all.reshape(n_batches, batch_size, F)
+    return d_all.reshape(n_batches, batch_size, len(widths))
 
 
 @jax.jit
@@ -348,7 +358,9 @@ def bpr_fusion_weights(
     Ucat = jnp.concatenate(modalities._U, axis=1)   # [n_users, F*k]
     Vcat = jnp.concatenate(modalities._V, axis=1)   # [n_items, F*k]
     d_all = _fusion_build_d(
-        Ucat, Vcat, u, i, j, n_gather_chunks, F, n_batches, batch_size
+        Ucat, Vcat, u, i, j, n_gather_chunks,
+        tuple(int(Uf.shape[1]) for Uf in modalities._U),
+        n_batches, batch_size,
     )
     w, _ = _fusion_sgd(
         d_all, jnp.zeros(F, dtype=jnp.float32), lr, lambda_w

@@ -171,7 +171,10 @@ class CER(WMF):
             # existing loss sync): non-convergence must fail LOUDLY, not
             # produce a silently wrong E (e.g. small le => le*I no longer
             # dominates the spectrum and 60 CG steps may not be enough)
-            if float(rel) > self.e_solver_fallback_tol:
+            # NaN-safe: a diverged CG can yield rel = NaN, and
+            # `NaN > tol` is False — the not-<= form routes NaN to the
+            # loud fallback instead of returning a silent NaN E
+            if not (float(rel) <= self.e_solver_fallback_tol):
                 import warnings
 
                 warnings.warn(

@@ -145,16 +145,20 @@ long long tkr_parse_dat(const char* path, float** out_data,
   if (!buf) return 1;
   std::vector<float> vals;
   vals.reserve(len / 9 + 16);  // "%f" floats are ~9 chars
-  long long rows = 0, first_cols = -1, line_tokens = 0;
+  // Row accounting mirrors the Python spec path (data/io.py): EVERY
+  // line counts except the trailing blank run, and first_cols is line
+  // 0's token count even when 0 (a leading/interior blank line must
+  // fail rectangularity identically whether or not the .so is built).
+  long long line_no = 0, last_nonblank = -1;
+  long long first_cols = -1, line_tokens = 0;
   char* p = buf;
   char* end = buf + len;
   while (p < end) {
     char c = *p;
     if (c == '\n') {
-      if (line_tokens > 0) {
-        ++rows;
-        if (first_cols < 0) first_cols = line_tokens;
-      }
+      if (line_tokens > 0) last_nonblank = line_no;
+      if (first_cols < 0) first_cols = line_tokens;
+      ++line_no;
       line_tokens = 0;
       ++p;
     } else if (c == ' ' || c == '\t' || c == '\r') {
@@ -211,10 +215,11 @@ long long tkr_parse_dat(const char* path, float** out_data,
       }
     }
   }
-  if (line_tokens > 0) {
-    ++rows;
+  if (line_tokens > 0) {  // final line without trailing newline
     if (first_cols < 0) first_cols = line_tokens;
+    last_nonblank = line_no;
   }
+  long long rows = last_nonblank + 1;
   std::free(buf);
   float* arr = static_cast<float*>(std::malloc(vals.size() * sizeof(float)));
   if (!arr && !vals.empty()) return 1;

@@ -133,6 +133,11 @@ def _sample_triplets_sorted(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sorted-CSR membership variant of `_sample_triplets` — identical
     PRNG consumption pattern, so same key => byte-identical triplets."""
+    # 0 probe iterations would silently skip membership detection and
+    # let positives through as "negatives" — fail at trace time instead
+    assert n_probe_iters >= 1, (
+        "sorted membership requires n_probe_iters >= ceil(log2(max_deg+1))"
+    )
     ku, ki, kj, kfix = jax.random.split(key, 4)
     uidx = jax.random.randint(ku, (batch_size,), 0, user_rows.shape[0])
     rows = user_rows[uidx]
