@@ -184,3 +184,22 @@ def test_native_parse_dat_blank_line_parity(tmp_path):
                 io_mod._native_lib = orig
 
         assert attempt(True) == attempt(False), name
+
+
+def test_native_parse_dat_partial_token_rejected(tmp_path):
+    """Corrupt tokens that strtof would partially consume ('0.5.5',
+    '1-2') must raise like the Python spec path, not silently split
+    into fabricated values."""
+    import pytest
+
+    from topk_rec_tpu.data.io import read_dat
+    from topk_rec_tpu.native import io_native
+
+    if not io_native.available():
+        pytest.skip("native lib not built")
+    for bad in ("0.5.5 1.0 \n", "1-2 3.0 \n", "1.0 2.0x \n"):
+        p = str(tmp_path / "bad.dat")
+        with open(p, "w") as f:
+            f.write(bad)
+        with pytest.raises(ValueError, match="malformed"):
+            read_dat(p)

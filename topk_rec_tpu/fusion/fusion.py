@@ -176,14 +176,21 @@ def error_weights(
         return jnp.sqrt(jnp.sum(sq, axis=1) / svec[:, None])
 
     weight = np.zeros((n_users, F), dtype=np.float32)
+    # bounded pipelining (window 3): the async-RTT win without letting
+    # every chunk's multi-GB [CU, n_cand, F] stack buffer be live at
+    # once — an unbounded dispatch queue held ~17 x 1.3 GB of enqueued
+    # outputs at MovieLens scale and risks RESOURCE_EXHAUSTED on a
+    # 16 GB chip at slightly larger shapes
     pending = []
     for start in range(0, n_users, user_chunk):
         stop = min(start + user_chunk, n_users)
         stack = modalities.chunk_stack(start, stop, cand_dev)
-        # dispatch all chunks async; fetch once (tunnel RTT amortized)
         pending.append((start, stop, chunk_weights(stack, bm_dev[start:stop])))
-    for start, stop, out in pending:
-        weight[start:stop] = np.asarray(out)[: stop - start]
+        if len(pending) > 3:
+            s0, s1, out = pending.pop(0)
+            weight[s0:s1] = np.asarray(out)[: s1 - s0]
+    for s0, s1, out in pending:
+        weight[s0:s1] = np.asarray(out)[: s1 - s0]
     wmean = weight.mean(axis=1, keepdims=True)
     nz = (wmean != 0).reshape(-1)
     weight[nz] = np.exp(-(weight[nz] - wmean[nz]))

@@ -149,6 +149,7 @@ class CER(WMF):
         # per iteration at the reference's d=20000
         self._feat_dev = jnp.asarray(self.feat)
         self._gram_items = None
+        self._e_solver_use_direct = False  # new F: give CG a fresh shot
 
     def _feat_device(self) -> jax.Array:
         if self._feat_dev is None:
@@ -162,6 +163,14 @@ class CER(WMF):
                 self._gram_items = jnp.dot(
                     F, F.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
+                )
+            # once CG has failed for this model's (le, lv, F), it will
+            # fail every iteration — go straight to the direct solve
+            # instead of re-running and discarding the full CG budget
+            # per training iteration
+            if getattr(self, "_e_solver_use_direct", False):
+                return _ridge_woodbury_direct(
+                    F, self._gram_items, Y, self.lv, self.le
                 )
             E, rel = _ridge_woodbury_cg(
                 F, self._gram_items, Y, self.lv, self.le,
@@ -188,6 +197,7 @@ class CER(WMF):
                     RuntimeWarning,
                     stacklevel=2,
                 )
+                self._e_solver_use_direct = True
                 return _ridge_woodbury_direct(
                     F, self._gram_items, Y, self.lv, self.le
                 )

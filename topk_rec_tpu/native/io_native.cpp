@@ -205,7 +205,13 @@ long long tkr_parse_dat(const char* path, float** out_data,
         p = q;
       } else {
         float v = std::strtof(p, &q);
-        if (q == p) {
+        // the whole token must be consumed up to a delimiter — a
+        // partial parse ("0.5.5" -> 0.5 + ".5") would silently split
+        // corrupt tokens into fabricated values where the Python spec
+        // path raises
+        bool at_delim = q > p && (q >= end || *q == ' ' || *q == '\t' ||
+                                  *q == '\n' || *q == '\r');
+        if (!at_delim) {
           std::free(buf);
           return 2;
         }

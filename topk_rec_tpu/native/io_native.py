@@ -65,7 +65,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_longlong),               # out first_cols
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so built before a symbol was added —
+        # degrade to the Python spec path instead of erroring available()
         _LIB = None
     return _LIB
 

@@ -102,7 +102,9 @@ def _lower_bound(
 
     def body(_, state):
         lo, hi = state
-        mid = (lo + hi) >> 1
+        # overflow-safe midpoint: (lo+hi) wraps int32 past nnz ~ 2^30,
+        # exactly the huge-nnz regime this store exists for
+        mid = lo + ((hi - lo) >> 1)
         v = flat_sorted[jnp.clip(mid, 0, n - 1)]
         less = v < x
         active = lo < hi
