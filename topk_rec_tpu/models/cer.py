@@ -192,8 +192,10 @@ class CER(WMF):
                     f"residual {float(rel):.2e} > "
                     f"{self.e_solver_fallback_tol:.0e}; le={self.le:g} "
                     f"may be too small for the CG budget) — falling "
-                    f"back to the exact direct solve (slower). Raise "
-                    f"model.e_solver_iters to keep the fast path.",
+                    f"back to the exact direct solve (slower) for the "
+                    f"rest of this feature set. To retry the fast path "
+                    f"after raising model.e_solver_iters, call "
+                    f"set_features again (it resets the verdict).",
                     RuntimeWarning,
                     stacklevel=2,
                 )
