@@ -56,7 +56,13 @@ decomposition: ~12.5-13 ms floor (matmul + mask + cascade + regroup) +
 ~0.24 ms per extraction round; the rounds are cross-lane-reduction
 bound, and the measured alternative of emitting the candidate buffers
 for an XLA-side lax.top_k (``extract="xla"``) loses 3x at k=30
-(BASELINE.md scoring section).
+(BASELINE.md scoring section). A single-reduction packed-word round
+formulation (monotonic score bits | index bits in one int32) was also
+built, proved exact, measured, and REJECTED in round 5 — the score-
+field quantization it needs to carry an index collides at the k-th
+boundary on up to 49.7% of rows, and recovering exact values outside
+the kernel breaks bf16-mode value identity (full receipts: BASELINE.md
+"Packed-word extraction rounds: NEGATIVE RESULT").
 
 Grid: (user_tiles, item_tiles), item axis minor; the running buffers live
 in VMEM scratch and persist across the item-tile sweep (TPU grids execute
