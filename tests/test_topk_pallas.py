@@ -230,3 +230,25 @@ def test_fused_xla_extract_tie_repair():
     want_vals, want_idx = _reference(U, V, None, mask, k)
     np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_fused_span_padding_never_returned():
+    """Catalog padded to a whole number of spans: padded columns score
+    0 from zero embeddings, so if their mask=1 were lost they would WIN
+    over these all-negative real scores — assert they never appear."""
+    rng = np.random.default_rng(11)
+    n_u, n_i, d, k = 32, 400, 8, 10  # spans of 384 -> padded to 768
+    U = rng.normal(size=(n_u, d)).astype(np.float32)
+    V = rng.normal(size=(n_i, d)).astype(np.float32)
+    # shift all real scores strictly negative via a large negative bias
+    bias = np.full(n_i, -100.0, np.float32)
+    mask = np.zeros((n_u, n_i), np.int8)
+    vals, idx = fused_score_topk(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(bias), jnp.asarray(mask),
+        k, block_u=16, block_i=128, interpret=True,
+    )
+    idx = np.asarray(idx)
+    assert idx.max() < n_i, "padded span column leaked into results"
+    want_vals, want_idx = _reference(U, V, bias, mask, k)
+    np.testing.assert_array_equal(idx, want_idx)
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-5)
