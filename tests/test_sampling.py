@@ -122,3 +122,23 @@ def test_bpr_training_identical_across_membership(small_inter):
         out[membership] = (m.fue.copy(), m.fie.copy(), m.fib.copy())
     for a, b in zip(out["bitmap"], out["sorted"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_single_negative_user_both_stores():
+    """A user whose positives cover all items but one: every sampled
+    negative for that user must be that one item, through both
+    membership stores (stresses the rejection fixup loop)."""
+    from topk_rec_tpu.data.dataset import Interactions
+
+    n_items = 40
+    # user 0 likes everything except item 17; user 1 likes item 3 only
+    pos_u = np.array([0] * (n_items - 1) + [1], np.int32)
+    pos_i = np.array(
+        [i for i in range(n_items) if i != 17] + [3], np.int32
+    )
+    inter = Interactions(2, n_items, pos_u, pos_i)
+    for membership in ("bitmap", "sorted"):
+        s = TripletSampler(inter, membership=membership)
+        u, i, j = s.sample_numpy(jax.random.PRNGKey(1), 512)
+        assert np.all(j[u == 0] == 17), membership
+        assert np.all(j[u == 1] != 3), membership
