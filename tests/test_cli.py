@@ -505,8 +505,9 @@ def test_evaluate_engine_pallas_identical(fold_dir, tmp_path, capsys):
 def test_console_entry_point_declared():
     """pyproject.toml ships a `topk-rec` console script pointing at the
     real CLI main (packaging contract; VERDICT r4 missing #3)."""
-    import tomllib
     import pathlib
+
+    tomllib = pytest.importorskip("tomllib")  # 3.11+; lib itself runs on 3.10
 
     root = pathlib.Path(__file__).resolve().parents[1]
     with open(root / "pyproject.toml", "rb") as f:

@@ -203,3 +203,35 @@ def test_native_parse_dat_partial_token_rejected(tmp_path):
             f.write(bad)
         with pytest.raises(ValueError, match="malformed"):
             read_dat(p)
+
+
+def test_native_parse_dat_hex_and_cr_parity(tmp_path):
+    """Hex tokens are rejected like the Python path; a lone '\\r' is a
+    line break (splitlines semantics), not whitespace."""
+    import pytest
+
+    import topk_rec_tpu.data.io as io_mod
+    from topk_rec_tpu.data.io import read_dat
+    from topk_rec_tpu.native import io_native
+
+    if not io_native.available():
+        pytest.skip("native lib not built")
+
+    p1 = str(tmp_path / "hex.dat")
+    with open(p1, "w") as f:
+        f.write("0x10 1.0 \n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_dat(p1)
+
+    p2 = str(tmp_path / "cr.dat")
+    with open(p2, "wb") as f:
+        f.write(b"1 2\r3 4\r")
+    native = read_dat(p2)
+    orig = io_mod._native_lib
+    io_mod._native_lib = lambda: None
+    try:
+        python = read_dat(p2)
+    finally:
+        io_mod._native_lib = orig
+    np.testing.assert_array_equal(native, python)
+    assert native.shape == (2, 2)

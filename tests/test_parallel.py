@@ -280,15 +280,24 @@ def test_bpr_trainer_exchange_auto_single_process(small_inter):
     assert np.isfinite(loss)
 
 
-def test_distributed_rejects_sorted_membership(small_inter):
-    """Mesh training shards the bitmap store; a sorted-store model gets
-    a clear error instead of an AttributeError deep in setup."""
-    import pytest
-
+def test_distributed_accepts_sorted_membership(small_inter):
+    """Mesh training builds its sharded bitmap from the HOST interactions
+    regardless of the model's single-chip membership store — a
+    sorted-store model trains identically to a bitmap-store one (same
+    seed => same stream)."""
     from topk_rec_tpu.models import BPR
 
     mesh = make_mesh(dp=4, mp=2)
-    m = BPR(k=8, seed=0, membership="sorted")
-    m.set_interactions(small_inter)
-    with pytest.raises(ValueError, match="membership='bitmap'"):
-        DistributedBPRTrainer(m, mesh)
+    outs = {}
+    for membership in ("bitmap", "sorted"):
+        m = BPR(k=8, seed=3, membership=membership)
+        m.set_interactions(small_inter)
+        tr = DistributedBPRTrainer(m, mesh, batch_size=32, scan_steps=4)
+        import jax
+
+        for c in range(3):
+            tr.train_chunk(jax.random.PRNGKey(c))
+        tr.sync_to_model()
+        outs[membership] = (m.fue.copy(), m.fie.copy())
+    for a, b in zip(outs["bitmap"], outs["sorted"]):
+        np.testing.assert_array_equal(a, b)

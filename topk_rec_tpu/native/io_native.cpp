@@ -155,13 +155,17 @@ long long tkr_parse_dat(const char* path, float** out_data,
   char* end = buf + len;
   while (p < end) {
     char c = *p;
-    if (c == '\n') {
+    if (c == '\n' || c == '\r') {
+      // '\r', '\n' and '\r\n' are each ONE line break, matching Python
+      // splitlines (a lone '\r' treated as whitespace silently merged
+      // two rows into one)
       if (line_tokens > 0) last_nonblank = line_no;
       if (first_cols < 0) first_cols = line_tokens;
       ++line_no;
       line_tokens = 0;
       ++p;
-    } else if (c == ' ' || c == '\t' || c == '\r') {
+      if (c == '\r' && p < end && *p == '\n') ++p;
+    } else if (c == ' ' || c == '\t') {
       ++p;
     } else {
       // fast path for the writer's own "%f" format ([-]digits.digits):
@@ -214,6 +218,14 @@ long long tkr_parse_dat(const char* path, float** out_data,
         if (!at_delim) {
           std::free(buf);
           return 2;
+        }
+        // strtof accepts hex floats ("0x10") that the Python spec path
+        // rejects — keep the two paths byte-equivalent
+        for (char* t = p; t < q; ++t) {
+          if (*t == 'x' || *t == 'X') {
+            std::free(buf);
+            return 2;
+          }
         }
         vals.push_back(v);
         ++line_tokens;

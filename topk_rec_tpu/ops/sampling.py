@@ -136,10 +136,16 @@ def _sample_triplets_sorted(
     """Sorted-CSR membership variant of `_sample_triplets` — identical
     PRNG consumption pattern, so same key => byte-identical triplets."""
     # 0 probe iterations would silently skip membership detection and
-    # let positives through as "negatives" — fail at trace time instead
-    assert n_probe_iters >= 1, (
-        "sorted membership requires n_probe_iters >= ceil(log2(max_deg+1))"
-    )
+    # let positives through as "negatives" — fail at trace time instead.
+    # NOTE this only rejects the obviously-broken value: the SUFFICIENT
+    # bound is ceil(log2(max_deg+1)), which depends on the fold and is
+    # derived by TripletSampler.__init__ — direct callers own it.
+    if n_probe_iters < 1:
+        raise ValueError(
+            "n_probe_iters must be >= 1 (TripletSampler derives the "
+            "sufficient ceil(log2(max_deg+1)); an under-provisioned "
+            "value corrupts membership detection silently)"
+        )
     ku, ki, kj, kfix = jax.random.split(key, 4)
     uidx = jax.random.randint(ku, (batch_size,), 0, user_rows.shape[0])
     rows = user_rows[uidx]

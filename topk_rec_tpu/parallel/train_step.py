@@ -68,26 +68,22 @@ class _DistributedPairwiseTrainer:
         s = model.sampler
         # Sampler state: per-user CSR/bitmap rows sharded like the user
         # table; the flat positive list is replicated (indices into it are
-        # data-dependent). The distributed trainer uses the BITMAP
-        # membership store regardless of the model's single-chip choice:
-        # row-sharding over "mp" divides its footprint by the shard
-        # count (12.5 GB at 1M users x 100K items -> 1.6 GB/chip on a
-        # v5e-8), which re-fits scales where a single chip needs the
-        # sorted-CSR store (ops/sampling.py); a sharded sorted store
-        # would add an all-to-all to every probe for no footprint win at
-        # pod scale.
-        if s.membership != "bitmap":
-            raise ValueError(
-                "distributed training shards the bitmap membership store "
-                "over 'mp' (its per-chip slice re-fits at pod scale); "
-                "construct the model with membership='bitmap' for mesh "
-                "training"
-            )
+        # data-dependent). The distributed trainer ALWAYS uses the bitmap
+        # membership store, built straight from the HOST array into the
+        # row-sharding (row-sharding over "mp" divides its footprint by
+        # the shard count: 12.5 GB at 1M users x 100K items ->
+        # 1.6 GB/chip on a v5e-8, re-fitting scales where a single chip
+        # needs the sorted-CSR store; a sharded sorted store would add
+        # an all-to-all to every probe for no footprint win). Building
+        # from model.inter.pos_bitmap (host) rather than the sampler's
+        # device copy (a) works for sorted/auto models that never built
+        # a device bitmap and (b) never materializes the full bitmap on
+        # one device before sharding.
         self.sampler_state = {
             "user_rows": replicate(mesh, s.user_rows),
             "flat_pos": replicate(mesh, s.flat_pos),
             "pos_bitmap": jax.device_put(
-                s.pos_bitmap, NamedSharding(mesh, P("mp", None))
+                model.inter.pos_bitmap, NamedSharding(mesh, P("mp", None))
             ),
         }
         self._step = self._build_step()
